@@ -1,0 +1,315 @@
+"""Model / table configuration for the FleetRec-TPU engine.
+
+This is the TPU-native replacement for the reference's three config layers
+(compile-time ``constants.hpp`` per FPGA kernel + GPU ``constant.h`` + host CLI;
+see /root/reference FPGA/kernel/user_krnl/*/src/hls/constants.hpp and
+GPU/final_network_cublasLt_*_no_FIFO_scatter/constant.h).  One dataclass tree
+describes: the embedding tables (rows / dim / shard placement), the feature
+layout (each table's offset inside the concatenated feature vector — the
+analog of VECTOR_START_IDX_* in the reference headers, e.g.
+embedding_krnl/src/hls/constants.hpp:279-306), and the MLP tower
+(constant.h:21-33).
+
+The three paper model configurations are loaded from JSON files extracted
+from the reference headers (fleetrec_tpu/configs/*.json), bank-offset
+validated against VECTOR_START_IDX/VECTOR_SIZE constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_CONFIG_DIR = os.path.join(os.path.dirname(__file__), "configs")
+
+# Lane width of the TPU vector unit; embedding tables are packed so that
+# 128 // dim logical rows share one 128-lane physical row (zero padding waste,
+# unlike a naive [rows, dim] layout which XLA pads to 128 lanes).
+LANES = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class TableSpec:
+    """One embedding table.
+
+    Mirrors one DATA_SIZE_*/TABLE_SIZE_* pair in the reference constants
+    headers.  ``kind``/``bank`` record the reference's physical placement
+    (HBM / DDR / PLRAM channel) purely for provenance; on TPU placement is
+    decided by the sharding planner (parallel/planner.py).
+    """
+
+    table_id: int
+    rows: int
+    dim: int
+    out_offset: int  # float offset in the concatenated feature vector
+    kind: str = "HBM"  # reference memory kind (provenance only)
+    bank: int = 0
+
+    def __post_init__(self):
+        assert self.dim in (1, 2, 4, 8, 16, 32, 64, 128) and self.dim <= LANES
+
+    @property
+    def rows_per_phys(self) -> int:
+        return LANES // self.dim
+
+    @property
+    def phys_rows(self) -> int:
+        return -(-self.rows // self.rows_per_phys)
+
+    @property
+    def nbytes(self) -> int:
+        return self.rows * self.dim * 4
+
+
+@dataclasses.dataclass(frozen=True)
+class MLPSpec:
+    """The dense scoring tower: input -> hidden... -> out, matmul chain.
+
+    The reference runs a bias-free pure matmul chain (4x cublasLtMatmul,
+    GPU/final_network_cublasLt_3_nodes_no_FIFO_scatter/cuda_server.c:598-621;
+    bias buffers allocated but unused).  ``use_bias``/``activation`` default
+    to the reference behaviour so the closed-form parity constants hold.
+    """
+
+    input_dim: int
+    hidden: Tuple[int, ...]
+    out_dim: int = 1
+    use_bias: bool = False
+    activation: Optional[str] = None  # None = pure matmul chain (reference)
+
+    @property
+    def widths(self) -> Tuple[int, ...]:
+        return (self.input_dim,) + tuple(self.hidden) + (self.out_dim,)
+
+    @property
+    def flops_per_query(self) -> int:
+        w = self.widths
+        return 2 * sum(a * b for a, b in zip(w[:-1], w[1:]))
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Full model: sharded multi-table embedding lookup + concat + MLP."""
+
+    name: str
+    tables: Tuple[TableSpec, ...]
+    mlp: MLPSpec
+    # Dense (non-embedding) features appended at the tail of the feature
+    # vector — the reference's CPU-node 64-float slice (constant.h:27).
+    dense_dim: int = 0
+    batch_size: int = 1024
+    # Parity mode: fp32 + fixed layouts for bit-exact golden comparison.
+    dtype: str = "float32"  # compute dtype of the MLP chain
+    table_dtype: str = "float32"
+
+    @property
+    def num_tables(self) -> int:
+        return len(self.tables)
+
+    @property
+    def feature_dim(self) -> int:
+        return self.mlp.input_dim
+
+    @property
+    def embedding_dim_total(self) -> int:
+        return sum(t.dim for t in self.tables)
+
+    @property
+    def table_bytes(self) -> int:
+        return sum(t.nbytes for t in self.tables)
+
+    def dims_histogram(self) -> Dict[int, int]:
+        h: Dict[int, int] = {}
+        for t in self.tables:
+            h[t.dim] = h.get(t.dim, 0) + 1
+        return h
+
+    def validate(self) -> None:
+        used = np.zeros(self.feature_dim, dtype=bool)
+        for t in self.tables:
+            seg = used[t.out_offset : t.out_offset + t.dim]
+            assert not seg.any(), f"overlap at table {t.table_id}"
+            used[t.out_offset : t.out_offset + t.dim] = True
+        if self.dense_dim:
+            tail = used[-self.dense_dim :]
+            assert not tail.any(), "dense slice overlaps a table"
+
+
+def _tables_from_json(raw: List[dict], offset_shift: int = 0, id_shift: int = 0) -> List[TableSpec]:
+    return [
+        TableSpec(
+            table_id=t["table"] + id_shift,
+            rows=t["rows"],
+            dim=t["dim"],
+            out_offset=t["out_offset"] + offset_shift,
+            kind=t["kind"],
+            bank=t["bank"],
+        )
+        for t in raw
+    ]
+
+
+def _load_json(name: str) -> dict:
+    with open(os.path.join(_CONFIG_DIR, f"{name}.json")) as f:
+        return json.load(f)
+
+
+def fleetrec_model1(batch_size: int = 1024, dtype: str = "float32") -> ModelConfig:
+    """Paper model 1: 47 tables, 352-float feature, MLP 352-1024-512-256-1.
+
+    Geometry extracted from
+    FPGA/kernel/user_krnl/embedding_krnl/src/hls/constants.hpp (TABLE_NUM=47,
+    INPUT_SIZE=352) and validated against its VECTOR_START_IDX_* constants.
+    """
+    raw = _load_json("fleetrec_model1")
+    cfg = ModelConfig(
+        name="fleetrec_model1",
+        tables=tuple(_tables_from_json(raw["tables"])),
+        mlp=MLPSpec(input_dim=raw["feature_dim"], hidden=tuple(raw["mlp_hidden"])),
+        batch_size=batch_size,
+        dtype=dtype,
+        table_dtype=dtype,
+    )
+    cfg.validate()
+    return cfg
+
+
+def fleetrec_model2(batch_size: int = 1024, dtype: str = "float32") -> ModelConfig:
+    """Paper model 2: 98 tables, 880-float feature (876 padded to 880),
+    MLP 880-1024-512-256-1 (embedding_98_krnl constants.hpp; 1-node GPU
+    server constant.h:21-27)."""
+    raw = _load_json("fleetrec_model2")
+    cfg = ModelConfig(
+        name="fleetrec_model2",
+        tables=tuple(_tables_from_json(raw["tables"])),
+        mlp=MLPSpec(input_dim=raw["feature_dim"], hidden=tuple(raw["mlp_hidden"])),
+        batch_size=batch_size,
+        dtype=dtype,
+        table_dtype=dtype,
+    )
+    cfg.validate()
+    return cfg
+
+
+def fleetrec_model3(batch_size: int = 1024, dtype: str = "float32") -> ModelConfig:
+    """Paper model 3: 377 tables = 2 x 188 (the two-FPGA shards of
+    embedding_377_krnl) + a 64-float dense CPU slice; feature 3968 =
+    1952 + 1952 + 64 (constant.h:25-27); MLP 3968-2048-512-256-1
+    (constant.h:30-33)."""
+    raw = _load_json("fleetrec_model3_fpga")
+    shard0 = _tables_from_json(raw["tables"])
+    shard1 = _tables_from_json(raw["tables"], offset_shift=raw["feature_dim"], id_shift=len(shard0))
+    feature_dim = 2 * raw["feature_dim"] + 64
+    cfg = ModelConfig(
+        name="fleetrec_model3",
+        tables=tuple(shard0 + shard1),
+        mlp=MLPSpec(input_dim=feature_dim, hidden=tuple(raw["mlp_hidden"])),
+        dense_dim=64,
+        batch_size=batch_size,
+        dtype=dtype,
+        table_dtype=dtype,
+    )
+    cfg.validate()
+    return cfg
+
+
+def tiny_dlrm(batch_size: int = 256, dtype: str = "float32") -> ModelConfig:
+    """Tiny DLRM-style config (BASELINE.json config 1): 8 tables x 1M rows x
+    dim 16, 3-layer MLP.  Dev/parity workhorse — small enough for CPU tests."""
+    tables = tuple(
+        TableSpec(table_id=i, rows=1_000_000, dim=16, out_offset=16 * i) for i in range(8)
+    )
+    cfg = ModelConfig(
+        name="tiny_dlrm",
+        tables=tables,
+        mlp=MLPSpec(input_dim=128, hidden=(256, 128)),
+        batch_size=batch_size,
+        dtype=dtype,
+        table_dtype=dtype,
+    )
+    cfg.validate()
+    return cfg
+
+
+def micro_test(batch_size: int = 16, rows: int = 64) -> ModelConfig:
+    """Minimal mixed-dim config for unit tests (covers dims 4/8/16/32 and
+    multi-round bank packing like the reference's 2-5 tables/channel)."""
+    dims = [4, 4, 8, 8, 8, 16, 32, 4]
+    off = 0
+    tables = []
+    for i, d in enumerate(dims):
+        tables.append(TableSpec(table_id=i, rows=rows + 8 * i, dim=d, out_offset=off))
+        off += d
+    cfg = ModelConfig(
+        name="micro_test",
+        tables=tuple(tables),
+        mlp=MLPSpec(input_dim=off + 8, hidden=(32, 16)),
+        dense_dim=8,
+        batch_size=batch_size,
+    )
+    cfg.validate()
+    return cfg
+
+
+def parity_synthetic(input_width: int = 512, batch_size: int = 32) -> ModelConfig:
+    """The reference's closed-form parity configuration: all-ones input of
+    ``input_width`` through the 1024-512-256-1 chain must score
+    width*1024*512*256 (= 68,719,476,736 for 512; 137,438,953,472 for 1024 —
+    GPU/final_network_cublasLt_1_node_no_FIFO_scatter/README.md:7-11).
+    Modeled as dense-only (no tables), matching the sender emulators'
+    all-ones payload."""
+    return ModelConfig(
+        name=f"parity_{input_width}",
+        tables=(),
+        mlp=MLPSpec(input_dim=input_width, hidden=(1024, 512, 256)),
+        dense_dim=input_width,
+        batch_size=batch_size,
+    )
+
+
+def criteo_terabyte(batch_size: int = 1024, dtype: str = "bfloat16") -> ModelConfig:
+    """Terabyte-Criteo-scale config (BASELINE.json config 5): 26 categorical
+    tables with the classic Criteo-1TB cardinalities (largest ~192M rows;
+    here one table is held at 1B rows to force row+column sharding), dim 32,
+    13 dense features, DLRM-ish 3968-wide bottom concat is replaced by the
+    standard concat of 26*32 + 13 -> MLP."""
+    cardinalities = [
+        1_000_000_000, 39_060, 17_295, 7_424, 20_265, 3, 7_122, 1_543, 63,
+        130_229_467, 3_067_956, 405_282, 10, 2_209, 11_938, 155, 4, 976,
+        14, 292_775_614, 40_790_948, 187_188_510, 590_152, 12_973, 108, 36,
+    ]
+    dim = 32
+    tables = tuple(
+        TableSpec(table_id=i, rows=r, dim=dim, out_offset=dim * i)
+        for i, r in enumerate(cardinalities)
+    )
+    cfg = ModelConfig(
+        name="criteo_terabyte",
+        tables=tables,
+        mlp=MLPSpec(input_dim=dim * len(cardinalities) + 13, hidden=(1024, 1024, 512, 256)),
+        dense_dim=13,
+        batch_size=batch_size,
+        dtype=dtype,
+        table_dtype=dtype,
+    )
+    cfg.validate()
+    return cfg
+
+
+CONFIGS = {
+    "micro_test": micro_test,
+    "tiny_dlrm": tiny_dlrm,
+    "fleetrec_model1": fleetrec_model1,
+    "fleetrec_model2": fleetrec_model2,
+    "fleetrec_model3": fleetrec_model3,
+    "criteo_terabyte": criteo_terabyte,
+}
+
+
+def get_config(name: str, **kw) -> ModelConfig:
+    return CONFIGS[name](**kw)

@@ -1,0 +1,105 @@
+"""The flagship end-to-end model: sharded multi-table embedding lookup ->
+fixed-offset concat -> dense MLP scoring, fused into ONE jitted program.
+
+This is the whole reference pipeline (FPGA embedding stage + 100G TCP link +
+GPU cuBLASLt scoring stage, README.md:2-8) collapsed on-chip: the lookup and
+the matmul chain live in the same XLA program so the "link" between stages is
+VMEM/HBM, not a network.  Multi-chip sharding of the same program lives in
+``fleetrec_tpu.parallel``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import reference as ref
+from ..config import ModelConfig
+from .embedding import (
+    PackedLayout,
+    PackedTables,
+    build_layout,
+    index_columns,
+    lookup_concat,
+    pack_tables,
+)
+from .mlp import init_mlp_params, mlp_apply
+
+
+@dataclasses.dataclass(frozen=True)
+class FleetRecModel:
+    """Static model description (hashable; safe to close over in jit)."""
+
+    cfg: ModelConfig
+    layout: PackedLayout
+    # permutation of index-matrix columns: spec order -> group order
+    index_perm: tuple
+
+    @classmethod
+    def create(cls, cfg: ModelConfig) -> "FleetRecModel":
+        layout = build_layout(cfg.tables, cfg.feature_dim, cfg.dense_dim)
+        perm = tuple(int(p) for p in index_columns(layout, [t.table_id for t in cfg.tables]))
+        return cls(cfg=cfg, layout=layout, index_perm=perm)
+
+    def forward(
+        self,
+        params: Dict,
+        indices: jax.Array,
+        dense: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """indices: [B, num_tables] in config table order; dense:
+        [B, dense_dim].  Returns scores [B].
+
+        Out-of-range row ids follow jnp.take's fill semantics (NaN), so bad
+        indices surface in scores rather than silently reading a wrong row;
+        the serving tier validates indices host-side (serving/engine.py).
+        """
+        if indices.ndim != 2 or indices.shape[1] != self.cfg.num_tables:
+            raise ValueError(
+                f"indices must be [B, {self.cfg.num_tables}], got {indices.shape}"
+            )
+        if self.cfg.dense_dim:
+            if dense is None or dense.shape != (indices.shape[0], self.cfg.dense_dim):
+                raise ValueError(
+                    f"dense must be [{indices.shape[0]}, {self.cfg.dense_dim}], got "
+                    f"{None if dense is None else dense.shape}"
+                )
+        if self.index_perm:
+            indices = indices[:, jnp.asarray(self.index_perm, dtype=jnp.int32)]
+        feats = lookup_concat(params["tables"], indices, dense)
+        dtype = jnp.dtype(self.cfg.dtype)
+        scores = mlp_apply(
+            params["mlp"], feats.astype(dtype), activation=self.cfg.mlp.activation
+        )
+        return scores[:, 0]
+
+
+def init_model(
+    cfg: ModelConfig,
+    table_scheme: str = "pm1",
+    mlp_scheme: str = "ones",
+    seed: int = 0,
+    tables_np: Optional[Sequence[np.ndarray]] = None,
+    mlp_np: Optional[Sequence[np.ndarray]] = None,
+):
+    """Build (model, params).  Default data matches the reference parity
+    convention (pm1 tables, all-ones weights); pass tables_np/mlp_np to load
+    real parameters."""
+    model = FleetRecModel.create(cfg)
+    if tables_np is None:
+        tables_np = ref.init_tables(cfg, scheme=table_scheme, seed=seed)
+    if mlp_np is None:
+        mlp = init_mlp_params(cfg.mlp, scheme=mlp_scheme, seed=seed, dtype=jnp.dtype(cfg.dtype))
+    else:
+        mlp = [jnp.asarray(w, dtype=jnp.dtype(cfg.dtype)) for w in mlp_np]
+    packed = pack_tables(tables_np, cfg.tables, model.layout, dtype=jnp.dtype(cfg.table_dtype))
+    params = {"tables": packed, "mlp": mlp}
+    return model, params
+
+
+def forward(model: FleetRecModel, params, indices, dense=None):
+    return model.forward(params, indices, dense)

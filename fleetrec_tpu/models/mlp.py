@@ -1,0 +1,54 @@
+"""Dense scoring tower: the TPU replacement for the reference's chain of
+four cublasLtMatmul calls (GPU/final_network_cublasLt_3_nodes_no_FIFO_scatter/
+cuda_server.c:598-621, layer descriptors :212-345).
+
+A bias-free matmul chain by default (the reference allocates bias buffers but
+never applies them — cuda_server.c:596-597 comment), with optional bias+ReLU
+for the non-parity serving configs.  fp32 with ``preferred_element_type`` for
+parity; bf16 inputs with fp32 accumulation for serving throughput (MXU-native).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MLPSpec
+
+
+def init_mlp_params(
+    spec: MLPSpec, scheme: str = "ones", seed: int = 0, dtype=jnp.float32
+) -> List[jax.Array]:
+    """Weights [in, out] per layer; "ones" matches the reference parity
+    setup (cuda_server.c:154-161)."""
+    ws = []
+    for li, (a, b) in enumerate(zip(spec.widths[:-1], spec.widths[1:])):
+        if scheme == "ones":
+            w = np.ones((a, b), dtype=np.float32)
+        elif scheme == "uniform":
+            rng = np.random.default_rng(seed * 104729 + li)
+            w = (rng.uniform(-1, 1, size=(a, b)) / np.sqrt(a)).astype(np.float32)
+        else:
+            raise ValueError(scheme)
+        ws.append(jnp.asarray(w, dtype=dtype))
+    return ws
+
+
+def mlp_apply(
+    weights: Sequence[jax.Array],
+    x: jax.Array,
+    activation: Optional[str] = None,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """x: [B, input_dim] -> [B, out_dim].  Accumulates in fp32 on the MXU
+    regardless of storage dtype."""
+    for i, w in enumerate(weights):
+        x = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+        if activation == "relu" and i < len(weights) - 1:
+            x = jnp.maximum(x, 0.0)
+        if i < len(weights) - 1 and x.dtype != w.dtype:
+            x = x.astype(w.dtype)
+    return x.astype(out_dtype)

@@ -1,0 +1,116 @@
+"""Parity tests: the TPU engine vs the numpy golden oracle and the
+reference's closed-form constants (GPU/final_network_cublasLt_1_node_
+no_FIFO_scatter/README.md:7-11)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fleetrec_tpu import config as C
+from fleetrec_tpu import reference as ref
+from fleetrec_tpu.models import init_model
+
+
+def rand_indices(cfg, B, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.stack(
+        [rng.integers(0, t.rows, size=B) for t in cfg.tables], axis=1
+    ).astype(np.int32) if cfg.tables else np.zeros((B, 0), np.int32)
+
+
+def rand_dense(cfg, B, seed=1):
+    if not cfg.dense_dim:
+        return None
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-1, 1, size=(B, cfg.dense_dim)).astype(np.float32)
+
+
+@pytest.mark.parametrize("width,expected", [(512, 68719476736.0), (1024, 137438953472.0)])
+def test_closed_form_parity_constant(width, expected):
+    """All-ones input through the all-ones 1024-512-256-1 chain must hit the
+    reference README constants exactly (fp32 is exact: powers of two)."""
+    cfg = C.parity_synthetic(width, batch_size=8)
+    model, params = init_model(cfg)
+    dense = np.ones((8, width), dtype=np.float32)
+    idx = np.zeros((8, 0), dtype=np.int32)
+    scores = np.asarray(jax.jit(model.forward)(params, idx, dense))
+    assert ref.closed_form_all_ones_score(width) == expected
+    np.testing.assert_array_equal(scores, np.full(8, expected, np.float32))
+
+
+@pytest.mark.parametrize("scheme", ["pm1", "rowid"])
+def test_micro_gather_concat_exact(scheme):
+    """Lookup+concat must be bit-exact vs the golden (pure data movement)."""
+    cfg = C.micro_test()
+    tables = ref.init_tables(cfg, scheme=scheme)
+    model, params = init_model(cfg, tables_np=tables)
+    B = cfg.batch_size
+    idx, dense = rand_indices(cfg, B), rand_dense(cfg, B)
+    golden = ref.gather_concat(cfg, tables, idx, dense)
+
+    from fleetrec_tpu.models.embedding import lookup_concat
+
+    gi = idx[:, np.asarray(model.index_perm)]
+    feats = np.asarray(lookup_concat(params["tables"], jnp.asarray(gi), jnp.asarray(dense)))
+    np.testing.assert_array_equal(feats, golden)
+
+
+@pytest.mark.parametrize("name", ["fleetrec_model1", "fleetrec_model2", "fleetrec_model3"])
+def test_reference_models_gather_exact(name):
+    """The three paper configs: gather/concat bit-exact on ±1 tables, and
+    scores match the float64 oracle to fp32 tolerance."""
+    cfg = C.get_config(name, batch_size=16)
+    # shrink giant tables for test speed: geometry (dims/offsets) unchanged
+    import dataclasses
+
+    small = tuple(
+        dataclasses.replace(t, rows=min(t.rows, 512)) for t in cfg.tables
+    )
+    cfg = dataclasses.replace(cfg, tables=small)
+    tables = ref.init_tables(cfg, scheme="rowid")
+    model, params = init_model(cfg, tables_np=tables)
+    B = cfg.batch_size
+    idx, dense = rand_indices(cfg, B), rand_dense(cfg, B)
+
+    from fleetrec_tpu.models.embedding import lookup_concat
+
+    gi = idx[:, np.asarray(model.index_perm)]
+    d = None if dense is None else jnp.asarray(dense)
+    feats = np.asarray(lookup_concat(params["tables"], jnp.asarray(gi), d))
+    golden = ref.gather_concat(cfg, tables, idx, dense)
+    np.testing.assert_array_equal(feats, golden)
+
+
+@pytest.mark.parametrize("name", ["micro_test", "fleetrec_model1"])
+def test_end_to_end_vs_oracle(name):
+    cfg = C.get_config(name) if name != "fleetrec_model1" else C.fleetrec_model1(batch_size=8)
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, tables=tuple(dataclasses.replace(t, rows=min(t.rows, 256)) for t in cfg.tables)
+    )
+    tables = ref.init_tables(cfg, scheme="uniform")
+    ws = ref.init_mlp_weights(cfg, scheme="uniform")
+    model, params = init_model(cfg, tables_np=tables, mlp_np=ws)
+    B = cfg.batch_size
+    idx, dense = rand_indices(cfg, B), rand_dense(cfg, B)
+    d = None if dense is None else jnp.asarray(dense)
+    scores = np.asarray(jax.jit(model.forward)(params, jnp.asarray(idx), d))
+    golden = ref.forward(cfg, tables, ws, idx, dense)
+    # fp32 chain vs float64 oracle: absolute error scales with intermediate
+    # magnitudes (~1), not the near-zero final score -> atol-dominated bound.
+    np.testing.assert_allclose(scores, golden, rtol=1e-3, atol=2e-3)
+
+
+def test_pm1_parity_end_to_end():
+    """±1 tables + all-ones weights: score is an exact even integer the
+    oracle predicts; engine must match to fp32-rounding of the same value."""
+    cfg = C.micro_test(batch_size=32)
+    tables = ref.init_tables(cfg, scheme="pm1")
+    model, params = init_model(cfg, tables_np=tables, mlp_scheme="ones")
+    idx = rand_indices(cfg, 32)
+    dense = np.ones((32, cfg.dense_dim), dtype=np.float32)
+    scores = np.asarray(jax.jit(model.forward)(params, jnp.asarray(idx), jnp.asarray(dense)))
+    golden = ref.forward(cfg, tables, ref.init_mlp_weights(cfg, "ones"), idx, dense)
+    np.testing.assert_array_equal(scores, golden.astype(np.float32))
