@@ -1,0 +1,315 @@
+// FleetRec-TPU native feature-ingest server.
+//
+// TPU-native analog of the reference GPU tier's socket layer
+// (GPU/final_network_cublasLt_3_nodes_no_FIFO_scatter/cuda_server.c:362-488
+// socket setup, :514-587 fixed-offset receive concatenation) and of its
+// FIFO/ring-buffer measurement variant
+// (GPU/measure_network_cuda_cp_latency_3_nodes/cuda_server.c:119-247
+// receiver threads, :690-728 ring + control words) — with the hand-rolled
+// spin-wait control words replaced by C++11 atomics and condition variables
+// (the reference left that protocol untested; see SURVEY.md §5).
+//
+// Model: N senders (the reference's CPU0/FPGA0/FPGA1 feature sources), each
+// connecting to port base+s. A batch slot is a contiguous float buffer of
+// sum(bytes_per_sender); sender s's payload lands at its fixed offset
+// (constant.h:25-27's 64+1952+1952 layout generalized). A ring of S slots
+// decouples receive from compute; the consumer (Python serving loop)
+// acquires complete slots, hands the buffer to JAX, and releases.
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this image).
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+#include <atomic>
+#include <chrono>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+namespace {
+
+using Clock = std::chrono::steady_clock;
+
+inline int64_t now_ns() {
+  return std::chrono::duration_cast<std::chrono::nanoseconds>(
+             Clock::now().time_since_epoch())
+      .count();
+}
+
+struct SlotState {
+  std::atomic<int> parts_done{0};   // senders completed for this fill
+  std::atomic<int64_t> first_byte_ns{0};
+  std::atomic<int64_t> complete_ns{0};
+  std::atomic<bool> ready{false};   // complete, not yet consumed
+  // The batch id this slot currently accepts (slot s serves batches
+  // s, s+n_slots, ...). Writers for batch b must wait until batch_id == b:
+  // a plain free flag is not enough — a fast sender could start writing
+  // batch b+n_slots while slow senders still fill batch b (the cross-lap
+  // race the reference's hand-rolled ring protocol guarded with iteration
+  // distance checks, measure_.../cuda_server.c:201-220).
+  std::atomic<int64_t> batch_id{0};
+};
+
+struct Ingest {
+  int n_senders = 0;
+  int n_slots = 0;
+  std::vector<size_t> bytes_per_sender;
+  std::vector<size_t> offset_per_sender;  // byte offset into slot buffer
+  size_t slot_bytes = 0;
+  int port_base = 0;
+
+  std::vector<char> ring;  // n_slots * slot_bytes
+  std::vector<SlotState> slots;
+
+  // Per-sender receive thread writes batch b into slot b % n_slots.
+  std::vector<std::thread> threads;
+  std::vector<int> listen_fds;
+  std::atomic<bool> stop{false};
+  std::atomic<int64_t> total_batches{0};
+  std::atomic<int64_t> bytes_received{0};
+  std::atomic<int> error_code{0};
+
+  std::mutex mu;
+  std::condition_variable cv_ready;   // consumer waits for a ready slot
+  std::condition_variable cv_free;    // writers wait for slot free
+  int64_t next_consume = 0;           // batch id the consumer takes next
+
+  char* slot_ptr(int s) { return ring.data() + (size_t)s * slot_bytes; }
+};
+
+// Receive exactly n bytes; returns false on EOF/error/stop.
+bool recv_all(Ingest* ing, int fd, char* dst, size_t n, int64_t* first_ns) {
+  size_t got = 0;
+  while (got < n && !ing->stop.load(std::memory_order_relaxed)) {
+    ssize_t r = ::recv(fd, dst + got, n - got, 0);
+    if (r <= 0) {
+      if (r < 0 && (errno == EINTR)) continue;
+      if (r < 0 && (errno == EAGAIN || errno == EWOULDBLOCK)) continue;
+      return false;
+    }
+    if (got == 0 && first_ns) *first_ns = now_ns();
+    got += (size_t)r;
+  }
+  return got == n;
+}
+
+void sender_thread(Ingest* ing, int sender, int listen_fd) {
+  // Accept one connection per sender (the reference's one socket per
+  // sender per server thread, cuda_server.c:422-487).
+  sockaddr_in cli{};
+  socklen_t len = sizeof(cli);
+  int fd = ::accept(listen_fd, (sockaddr*)&cli, &len);
+  if (fd < 0) {
+    ing->error_code.store(-errno);
+    return;
+  }
+  int one = 1;
+  setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+
+  const size_t nbytes = ing->bytes_per_sender[sender];
+  const size_t off = ing->offset_per_sender[sender];
+
+  for (int64_t batch = 0; !ing->stop.load(std::memory_order_relaxed); ++batch) {
+    int slot = (int)(batch % ing->n_slots);
+    SlotState& st = ing->slots[slot];
+    // Wait until this slot has advanced to OUR batch (consumer released all
+    // previous laps).
+    {
+      std::unique_lock<std::mutex> lk(ing->mu);
+      ing->cv_free.wait(lk, [&] {
+        return st.batch_id.load(std::memory_order_acquire) == batch ||
+               ing->stop.load(std::memory_order_relaxed);
+      });
+      if (ing->stop.load(std::memory_order_relaxed)) break;
+    }
+    int64_t first_ns = 0;
+    if (!recv_all(ing, fd, ing->slot_ptr(slot) + off, nbytes, &first_ns)) break;
+    ing->bytes_received.fetch_add((int64_t)nbytes, std::memory_order_relaxed);
+    // Record earliest first-byte across senders (the reference stamps at
+    // first recv byte per sender, cuda_server.c:519).
+    int64_t prev = st.first_byte_ns.load(std::memory_order_relaxed);
+    while ((prev == 0 || first_ns < prev) &&
+           !st.first_byte_ns.compare_exchange_weak(prev, first_ns)) {
+    }
+    if (st.parts_done.fetch_add(1, std::memory_order_acq_rel) + 1 ==
+        ing->n_senders) {
+      st.complete_ns.store(now_ns(), std::memory_order_relaxed);
+      st.parts_done.store(0, std::memory_order_relaxed);
+      st.ready.store(true, std::memory_order_release);
+      ing->total_batches.fetch_add(1, std::memory_order_relaxed);
+      std::lock_guard<std::mutex> lk(ing->mu);
+      ing->cv_ready.notify_all();
+    }
+  }
+  ::close(fd);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* ing_create(int n_senders, const int64_t* bytes_per_sender, int n_slots,
+                 int port_base) {
+  auto* ing = new Ingest();
+  ing->n_senders = n_senders;
+  ing->n_slots = n_slots;
+  ing->port_base = port_base;
+  size_t off = 0;
+  for (int s = 0; s < n_senders; ++s) {
+    ing->bytes_per_sender.push_back((size_t)bytes_per_sender[s]);
+    ing->offset_per_sender.push_back(off);
+    off += (size_t)bytes_per_sender[s];
+  }
+  ing->slot_bytes = off;
+  ing->ring.resize((size_t)n_slots * off);
+  ing->slots = std::vector<SlotState>(n_slots);
+  for (int s = 0; s < n_slots; ++s) ing->slots[s].batch_id.store(s);
+  return ing;
+}
+
+// Bind+listen all ports. Returns 0 or -errno.
+int ing_listen(void* h) {
+  auto* ing = (Ingest*)h;
+  for (int s = 0; s < ing->n_senders; ++s) {
+    int fd = ::socket(AF_INET, SOCK_STREAM, 0);
+    if (fd < 0) return -errno;
+    int one = 1;
+    setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_addr.s_addr = INADDR_ANY;
+    addr.sin_port = htons((uint16_t)(ing->port_base + s));
+    if (::bind(fd, (sockaddr*)&addr, sizeof(addr)) < 0) return -errno;
+    if (::listen(fd, 4) < 0) return -errno;
+    ing->listen_fds.push_back(fd);
+  }
+  return 0;
+}
+
+// Spawn per-sender receive threads (each blocks in accept()).
+void ing_start(void* h) {
+  auto* ing = (Ingest*)h;
+  for (int s = 0; s < ing->n_senders; ++s) {
+    ing->threads.emplace_back(sender_thread, ing, s, ing->listen_fds[s]);
+  }
+}
+
+// Block until the next batch (in order) is complete. Returns slot id >= 0,
+// -1 on timeout, -2 on stop/error.
+int ing_acquire(void* h, int timeout_ms) {
+  auto* ing = (Ingest*)h;
+  int slot = (int)(ing->next_consume % ing->n_slots);
+  SlotState& st = ing->slots[slot];
+  std::unique_lock<std::mutex> lk(ing->mu);
+  bool ok = ing->cv_ready.wait_for(
+      lk, std::chrono::milliseconds(timeout_ms), [&] {
+        return st.ready.load(std::memory_order_acquire) ||
+               ing->stop.load(std::memory_order_relaxed) ||
+               ing->error_code.load() != 0;
+      });
+  if (!ok) return -1;
+  if (!st.ready.load(std::memory_order_acquire)) return -2;
+  ing->next_consume++;
+  return slot;
+}
+
+float* ing_slot_data(void* h, int slot) {
+  auto* ing = (Ingest*)h;
+  return (float*)ing->slot_ptr(slot);
+}
+
+int64_t ing_slot_first_byte_ns(void* h, int slot) {
+  return ((Ingest*)h)->slots[slot].first_byte_ns.load();
+}
+
+int64_t ing_slot_complete_ns(void* h, int slot) {
+  return ((Ingest*)h)->slots[slot].complete_ns.load();
+}
+
+void ing_release(void* h, int slot) {
+  auto* ing = (Ingest*)h;
+  SlotState& st = ing->slots[slot];
+  st.ready.store(false, std::memory_order_relaxed);
+  st.first_byte_ns.store(0, std::memory_order_relaxed);
+  st.complete_ns.store(0, std::memory_order_relaxed);
+  // Advance the slot to its next lap; writers waiting on batch_id wake up.
+  st.batch_id.fetch_add(ing->n_slots, std::memory_order_release);
+  std::lock_guard<std::mutex> lk(ing->mu);
+  ing->cv_free.notify_all();
+}
+
+int64_t ing_total_batches(void* h) { return ((Ingest*)h)->total_batches.load(); }
+int64_t ing_bytes_received(void* h) { return ((Ingest*)h)->bytes_received.load(); }
+int ing_error(void* h) { return ((Ingest*)h)->error_code.load(); }
+
+void ing_stop(void* h) {
+  auto* ing = (Ingest*)h;
+  ing->stop.store(true);
+  {
+    std::lock_guard<std::mutex> lk(ing->mu);
+    ing->cv_ready.notify_all();
+    ing->cv_free.notify_all();
+  }
+  for (int fd : ing->listen_fds) ::shutdown(fd, SHUT_RDWR);
+  for (int fd : ing->listen_fds) ::close(fd);
+  for (auto& t : ing->threads)
+    if (t.joinable()) t.join();
+  ing->threads.clear();
+  ing->listen_fds.clear();
+}
+
+void ing_destroy(void* h) {
+  ing_stop(h);
+  delete (Ingest*)h;
+}
+
+// ---------------------------------------------------------------------------
+// Load generator: the analog of the reference sender emulators
+// (GPU/*/FPGA0_multiple_connections_network_client_sender.c — connect, fill
+// a block with a constant, stream n_batches blocks).
+// Returns batches sent, or -errno.
+int64_t loadgen_run(const char* ip, int port, int64_t bytes_per_batch,
+                    int64_t n_batches, float fill_value) {
+  int fd = ::socket(AF_INET, SOCK_STREAM, 0);
+  if (fd < 0) return -errno;
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_port = htons((uint16_t)port);
+  if (inet_pton(AF_INET, ip, &addr.sin_addr) != 1) return -EINVAL;
+  // retry connect briefly (server may still be binding)
+  int tries = 50;
+  while (::connect(fd, (sockaddr*)&addr, sizeof(addr)) < 0) {
+    if (--tries == 0) {
+      ::close(fd);
+      return -errno;
+    }
+    ::usleep(100 * 1000);
+  }
+  int one = 1;
+  setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+  std::vector<float> buf(bytes_per_batch / sizeof(float), fill_value);
+  for (int64_t b = 0; b < n_batches; ++b) {
+    size_t sent = 0;
+    const char* p = (const char*)buf.data();
+    while (sent < (size_t)bytes_per_batch) {
+      ssize_t r = ::send(fd, p + sent, bytes_per_batch - sent, 0);
+      if (r < 0) {
+        if (errno == EINTR) continue;
+        ::close(fd);
+        return -errno;
+      }
+      sent += (size_t)r;
+    }
+  }
+  ::close(fd);
+  return n_batches;
+}
+
+}  // extern "C"

@@ -1,0 +1,197 @@
+"""Latency-bounded serving loop.
+
+The TPU replacement for the reference's per-thread receive->H2D->matmul loop
+(cuda_server.c:495-627) and its end-of-run latency post-processing
+(:704-744: per-batch max over senders, skip first batch, average).
+
+Two operating modes, matching the two halves of the reference pipeline:
+
+  * index mode (TPU-native): batches of table indices (+ dense slice) are
+    scored by the FULL fused program (lookup+concat+MLP on chip);
+  * feature mode (reference-parity): batches arrive as pre-gathered feature
+    vectors (what the FPGAs ship over 100G TCP) and only the MLP tower runs
+    — used for wire-parity tests against cuda_server.c semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class BatchRecord:
+    batch_id: int
+    t_first_byte_ns: int  # earliest first-byte across senders (0 if host-gen)
+    t_complete_ns: int    # all senders done
+    t_submit: float       # host submit to device
+    t_done: float         # scores materialized on host
+
+
+class LatencyStats:
+    """Per-batch latency collector with the reference's reporting rules:
+    first batch excluded (cuda_server.c:714 comment), per-batch latency =
+    first-byte -> scores-ready (max over senders implicit in complete_ns)."""
+
+    def __init__(self):
+        self.records: List[BatchRecord] = []
+
+    def add(self, rec: BatchRecord):
+        self.records.append(rec)
+
+    def _lat_ms(self) -> np.ndarray:
+        recs = self.records[1:] if len(self.records) > 1 else self.records
+        out = []
+        for r in recs:
+            if r.t_first_byte_ns:
+                # wall-clock ns epoch of steady_clock differs from time.time;
+                # both stamps come from the same clock only in ingest mode
+                out.append((r.t_done - r.t_submit) + (r.t_complete_ns - r.t_first_byte_ns) / 1e9)
+            else:
+                out.append(r.t_done - r.t_submit)
+        return np.asarray(out) * 1e3
+
+    def summary(self) -> dict:
+        if not self.records:
+            return {"batches": 0}
+        lat = self._lat_ms()
+        return {
+            "batches": len(self.records),
+            "latency_ms_p50": float(np.percentile(lat, 50)),
+            "latency_ms_p99": float(np.percentile(lat, 99)),
+            "latency_ms_mean": float(lat.mean()),
+        }
+
+
+class ServingEngine:
+    """Dispatch loop with a bounded in-flight window (double buffering+).
+
+    score_fn: host-facing callable np_inputs -> device scores object with
+    .block_until_ready / np conversion. Built from a FleetRecModel via
+    from_model().
+    """
+
+    def __init__(self, score_fn: Callable, num_tables: int, dense_dim: int,
+                 batch_size: int, max_in_flight: int = 2):
+        self.score_fn = score_fn
+        self.num_tables = num_tables
+        self.dense_dim = dense_dim
+        self.batch_size = batch_size
+        self.max_in_flight = max_in_flight
+        self.stats = LatencyStats()
+        self._in_flight: "queue.Queue" = queue.Queue()
+        self._batch_id = 0
+
+    # -- construction ----------------------------------------------------
+    @classmethod
+    def from_model(cls, model, params, batch_size: int, max_in_flight: int = 2):
+        import jax
+        import jax.numpy as jnp
+
+        fwd = jax.jit(model.forward)
+
+        def score(indices_np, dense_np):
+            d = None if dense_np is None else jnp.asarray(dense_np)
+            return fwd(params, jnp.asarray(indices_np), d)
+
+        return cls(score, model.cfg.num_tables, model.cfg.dense_dim, batch_size,
+                   max_in_flight)
+
+    @classmethod
+    def mlp_only(cls, model, params, batch_size: int, max_in_flight: int = 2):
+        """Feature mode: score pre-gathered feature vectors (reference wire
+        semantics — the server only runs the matmul chain)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.mlp import mlp_apply
+
+        @jax.jit
+        def fwd(mlp_params, feats):
+            return mlp_apply(mlp_params, feats, model.cfg.mlp.activation)[:, 0]
+
+        def score(feats_np, _dense):
+            return fwd(params["mlp"], jnp.asarray(feats_np))
+
+        return cls(score, 0, 0, batch_size, max_in_flight)
+
+    # -- validation (host-side guard against NaN-fill gathers) -----------
+    def validate_indices(self, indices: np.ndarray, row_limits: Sequence[int]):
+        if indices.shape[1] != len(row_limits):
+            raise ValueError(f"expected {len(row_limits)} index columns")
+        lim = np.asarray(row_limits, dtype=np.int64)
+        bad = (indices < 0) | (indices >= lim[None, :])
+        if bad.any():
+            b, t = np.argwhere(bad)[0]
+            raise ValueError(
+                f"index out of range: batch row {b}, table {t}, "
+                f"id {indices[b, t]} >= {lim[t]}"
+            )
+
+    # -- dispatch --------------------------------------------------------
+    def submit(self, inputs_np, dense_np=None, t_first_byte_ns: int = 0,
+               t_complete_ns: int = 0, on_done: Optional[Callable] = None):
+        """Dispatch one batch; drains the window if max_in_flight exceeded."""
+        t_submit = time.time()
+        scores = self.score_fn(inputs_np, dense_np)
+        rec = BatchRecord(self._batch_id, t_first_byte_ns, t_complete_ns,
+                          t_submit, 0.0)
+        self._batch_id += 1
+        self._in_flight.put((scores, rec, on_done))
+        while self._in_flight.qsize() > self.max_in_flight:
+            self._drain_one()
+        return rec.batch_id
+
+    def _drain_one(self):
+        scores, rec, on_done = self._in_flight.get()
+        out = np.asarray(scores)  # forces completion (readback)
+        rec.t_done = time.time()
+        self.stats.add(rec)
+        if on_done is not None:
+            on_done(rec.batch_id, out)
+
+    def drain(self):
+        while not self._in_flight.empty():
+            self._drain_one()
+        return self.stats.summary()
+
+    # -- ingest loop -----------------------------------------------------
+    def run_from_ingest(self, ingest, n_batches: int, mode: str = "feature",
+                        feature_dim: Optional[int] = None,
+                        on_done: Optional[Callable] = None,
+                        timeout_ms: int = 20_000) -> dict:
+        """Consume n_batches from an IngestServer and score them.
+
+        feature mode: slot floats are [B, feature_dim].
+        index mode: slot floats are bit-cast int32 [B, num_tables] indices
+        followed by [B, dense_dim] floats (senders transmit indices as the
+        raw bytes of int32 — fixed offsets, like constant.h's layout).
+        """
+        B = self.batch_size
+        for i in range(n_batches):
+            got = ingest.acquire(timeout_ms)
+            if got is None:
+                raise TimeoutError(f"ingest timeout at batch {i}")
+            slot, view, t_first, t_complete = got
+            if mode == "feature":
+                feats = view.reshape(B, feature_dim).copy()
+                ingest.release(slot)
+                self.submit(feats, None, t_first, t_complete, on_done)
+            else:
+                n_idx = B * self.num_tables
+                idx = view[:n_idx].view(np.int32).reshape(B, self.num_tables).copy()
+                dense = (
+                    view[n_idx : n_idx + B * self.dense_dim]
+                    .reshape(B, self.dense_dim)
+                    .copy()
+                    if self.dense_dim
+                    else None
+                )
+                ingest.release(slot)
+                self.submit(idx, dense, t_first, t_complete, on_done)
+        return self.drain()

@@ -1,0 +1,164 @@
+"""Native ingest server + loadgen + serving engine tests — the analog of
+the reference's localhost sender/receiver bring-up ladder
+(GPU/*/single_connection_*, run_single_sender_*.sh)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from fleetrec_tpu.serving import IngestServer, Loadgen
+
+PORT = 17080  # avoid clashing with anything local
+
+
+def test_single_sender_roundtrip():
+    B, F = 32, 64
+    nbytes = B * F * 4
+    with IngestServer([nbytes], n_slots=4, port_base=PORT) as ing:
+        lg = Loadgen("127.0.0.1", PORT, [nbytes], n_batches=10, fill=2.5).start()
+        got = 0
+        while got < 10:
+            r = ing.acquire(5000)
+            assert r is not None, "timeout"
+            slot, view, t_first, t_complete = r
+            assert view.shape == (B * F,)
+            np.testing.assert_array_equal(view, np.full(B * F, 2.5, np.float32))
+            assert t_complete >= t_first > 0
+            ing.release(slot)
+            got += 1
+        assert lg.join(5) == [10]
+        assert ing.total_batches == 10
+        assert ing.bytes_received == 10 * nbytes
+
+
+def test_three_sender_fixed_offsets():
+    """Model-3 wire layout: 64 + 1952 + 1952 floats per query at fixed
+    offsets (constant.h:25-27), distinguishable fill values per sender."""
+    B = 8
+    widths = [64, 1952, 1952]
+    nbytes = [B * w * 4 for w in widths]
+    with IngestServer(nbytes, n_slots=4, port_base=PORT + 10) as ing:
+        lgs = [
+            Loadgen("127.0.0.1", PORT + 10 + s, [nbytes[s]], n_batches=5, fill=float(s + 1))
+            for s in range(3)
+        ]
+        # start each sender's single thread on its own port
+        for lg in lgs:
+            lg.threads[0].start()
+        for _ in range(5):
+            r = ing.acquire(5000)
+            assert r is not None
+            slot, view, *_ = r
+            off = 0
+            for s, w in enumerate(widths):
+                seg = view[off : off + B * w]
+                np.testing.assert_array_equal(seg, np.full(B * w, s + 1, np.float32))
+                off += B * w
+            ing.release(slot)
+
+
+def test_ring_backpressure():
+    """More batches than slots: writers must block until release, nothing
+    overwritten (the bug class the reference's spin-wait code risked)."""
+    B, F = 4, 16
+    nbytes = B * F * 4
+    with IngestServer([nbytes], n_slots=2, port_base=PORT + 20) as ing:
+        Loadgen("127.0.0.1", PORT + 20, [nbytes], n_batches=20, fill=1.0).start()
+        time.sleep(0.3)  # let sender race ahead; ring must hold it to 2 slots
+        seen = 0
+        while seen < 20:
+            r = ing.acquire(5000)
+            assert r is not None
+            slot, view, *_ = r
+            np.testing.assert_array_equal(view, np.full(B * F, 1.0, np.float32))
+            ing.release(slot)
+            seen += 1
+
+
+def test_engine_feature_mode_end_to_end():
+    """Loadgen -> ingest -> ServingEngine (MLP only) must reproduce the
+    closed-form all-ones score — the reference's own correctness check
+    (README 'Correct Results')."""
+    import fleetrec_tpu as fr
+    from fleetrec_tpu.models import init_model
+    from fleetrec_tpu.serving import ServingEngine
+
+    B, width = 16, 512
+    cfg = fr.config.parity_synthetic(width, batch_size=B)
+    model, params = init_model(cfg)
+    eng = ServingEngine.mlp_only(model, params, batch_size=B)
+
+    outs = {}
+    nbytes = B * width * 4
+    with IngestServer([nbytes], n_slots=4, port_base=PORT + 30) as ing:
+        Loadgen("127.0.0.1", PORT + 30, [nbytes], n_batches=6, fill=1.0).start()
+        summary = eng.run_from_ingest(
+            ing, 6, mode="feature", feature_dim=width,
+            on_done=lambda bid, scores: outs.__setitem__(bid, scores),
+        )
+    assert summary["batches"] == 6
+    assert summary["latency_ms_p99"] > 0
+    for bid, scores in outs.items():
+        np.testing.assert_array_equal(scores, np.full(B, 68719476736.0, np.float32))
+
+
+def test_engine_index_mode_end_to_end():
+    """Index-mode wire: senders ship int32 row-ids (+ dense floats); the
+    engine runs the FULL fused pipeline and matches the oracle."""
+    import socket
+
+    import fleetrec_tpu as fr
+    from fleetrec_tpu import reference as ref
+    from fleetrec_tpu.models import init_model
+    from fleetrec_tpu.serving import ServingEngine
+
+    cfg = fr.get_config("micro_test", batch_size=8)
+    B = 8
+    tables = ref.init_tables(cfg, scheme="rowid")
+    ws = ref.init_mlp_weights(cfg, scheme="uniform")
+    model, params = init_model(cfg, tables_np=tables, mlp_np=ws)
+    eng = ServingEngine.from_model(model, params, batch_size=B)
+
+    rng = np.random.default_rng(0)
+    idx = np.stack([rng.integers(0, t.rows, B) for t in cfg.tables], 1).astype(np.int32)
+    dense = rng.uniform(-1, 1, (B, cfg.dense_dim)).astype(np.float32)
+    payload = np.concatenate([idx.reshape(-1).view(np.float32), dense.reshape(-1)])
+    nbytes = payload.nbytes
+
+    outs = {}
+    with IngestServer([nbytes], n_slots=4, port_base=PORT + 40) as ing:
+        # custom sender: raw payload bytes, 3 batches
+        def send():
+            s = socket.create_connection(("127.0.0.1", PORT + 40), timeout=5)
+            for _ in range(3):
+                s.sendall(payload.tobytes())
+            s.close()
+
+        import threading
+
+        th = threading.Thread(target=send, daemon=True)
+        th.start()
+        eng.run_from_ingest(
+            ing, 3, mode="index",
+            on_done=lambda bid, scores: outs.__setitem__(bid, scores),
+        )
+        th.join(5)
+
+    golden = ref.forward(cfg, tables, ws, idx, dense)
+    for scores in outs.values():
+        np.testing.assert_allclose(scores, golden, rtol=1e-4, atol=1e-4)
+
+
+def test_engine_index_validation():
+    import fleetrec_tpu as fr
+    from fleetrec_tpu.models import init_model
+    from fleetrec_tpu.serving import ServingEngine
+
+    cfg = fr.get_config("micro_test", batch_size=4)
+    model, params = init_model(cfg)
+    eng = ServingEngine.from_model(model, params, batch_size=4)
+    idx = np.zeros((4, cfg.num_tables), np.int32)
+    idx[1, 2] = 10**6
+    with pytest.raises(ValueError, match="out of range"):
+        eng.validate_indices(idx, [t.rows for t in cfg.tables])
