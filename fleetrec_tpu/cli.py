@@ -1,0 +1,165 @@
+"""Command-line entry points — the analog of the reference's host CLIs
+(host <xclbin> batch_num destIP destPort localIP boardNum pkgWordCount
+useConn, FPGA/host/embedding_47_krnl/host.cpp:112-178) and run scripts
+(GPU/*/run_cuda_server.sh, run_client_sender.sh).
+
+  python -m fleetrec_tpu.cli serve  --config fleetrec_model1 --batch 1024 ...
+  python -m fleetrec_tpu.cli loadgen --config fleetrec_model1 --ip ... --batches N
+  python -m fleetrec_tpu.cli bench  --config fleetrec_model1 --batch 4096
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build(args, reduce_rows=None):
+    from . import config as C
+    from . import reference as ref
+    from .models import init_model
+
+    cfg = C.get_config(args.config, batch_size=args.batch)
+    if reduce_rows or args.max_rows:
+        cap = reduce_rows or args.max_rows
+        cfg = dataclasses.replace(
+            cfg, tables=tuple(dataclasses.replace(t, rows=min(t.rows, cap)) for t in cfg.tables)
+        )
+    if args.dtype:
+        cfg = dataclasses.replace(cfg, dtype=args.dtype, table_dtype=args.dtype)
+    tables = ref.init_tables(cfg, scheme=args.table_scheme)
+    model, params = init_model(cfg, tables_np=tables, mlp_scheme=args.mlp_scheme)
+    return cfg, model, params, tables
+
+
+def cmd_serve(args):
+    """Start the ingest server + serving loop (index mode by default).
+
+    Wire format per batch: int32 indices [B, T] then float32 dense
+    [B, dense_dim], split over --senders equal parts is NOT supported —
+    one sender per tensor role, matching the reference topology: sender 0
+    ships indices (+dense appended) for simplicity."""
+    from .serving import IngestServer, ServingEngine
+
+    cfg, model, params, _ = _build(args)
+    eng = ServingEngine.from_model(model, params, batch_size=args.batch)
+    B = args.batch
+    idx_bytes = B * cfg.num_tables * 4
+    dense_bytes = B * cfg.dense_dim * 4
+    with IngestServer([idx_bytes + dense_bytes], n_slots=args.slots,
+                      port_base=args.port) as ing:
+        print(f"serving {cfg.name} B={B} on port {args.port} "
+              f"({idx_bytes + dense_bytes} B/batch)", flush=True)
+        summary = eng.run_from_ingest(ing, args.batches, mode="index")
+        print(json.dumps(summary))
+
+
+def cmd_loadgen(args):
+    """Send synthetic index batches to a serve instance."""
+    import socket
+
+    from . import config as C
+
+    cfg = C.get_config(args.config, batch_size=args.batch)
+    if args.max_rows:
+        cfg = dataclasses.replace(
+            cfg,
+            tables=tuple(dataclasses.replace(t, rows=min(t.rows, args.max_rows)) for t in cfg.tables),
+        )
+    B = args.batch
+    rng = np.random.default_rng(args.seed)
+    sock = socket.create_connection((args.ip, args.port), timeout=30)
+    t0 = time.time()
+    for b in range(args.batches):
+        idx = np.stack([rng.integers(0, t.rows, B) for t in cfg.tables], 1).astype(np.int32)
+        payload = idx.tobytes()
+        if cfg.dense_dim:
+            payload += rng.uniform(-1, 1, (B, cfg.dense_dim)).astype(np.float32).tobytes()
+        sock.sendall(payload)
+    sock.close()
+    dt = time.time() - t0
+    print(f"sent {args.batches} x {B} queries in {dt:.2f}s "
+          f"({args.batches * B / dt:.0f} q/s)")
+
+
+def cmd_bench(args):
+    """Device throughput for a config (scan-based; see utils.timing)."""
+    import jax.numpy as jnp
+
+    from .utils.timing import DeviceBench
+
+    cfg, model, params, _ = _build(args)
+    rng = np.random.default_rng(0)
+    K = args.iters
+    idx = jnp.asarray(
+        np.stack([rng.integers(0, t.rows, (K, args.batch)) for t in cfg.tables], 2).astype(np.int32)
+    )
+    dense = (
+        jnp.asarray(rng.uniform(-1, 1, (K, args.batch, cfg.dense_dim)).astype(np.float32))
+        if cfg.dense_dim
+        else None
+    )
+    if dense is None:
+        bench = DeviceBench(lambda p, x: model.forward(p, x, None))
+        r = bench.measure(params, idx)
+    else:
+        bench = DeviceBench(lambda p, x: model.forward(p, x[0], x[1]))
+        r = bench.measure(params, (idx, dense))
+    qps = args.batch / (r["per_iter_ms"] / 1e3)
+    print(json.dumps({
+        "config": cfg.name, "batch": args.batch, "dtype": cfg.dtype,
+        "ms_per_batch": round(r["per_iter_ms"], 4),
+        "inferences_per_sec": round(qps, 1),
+    }))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="fleetrec_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--platform", default="",
+                        help="force jax platform (cpu|tpu|axon); note: the "
+                        "JAX_PLATFORMS env var may be overridden by site "
+                        "customization — this flag uses jax.config.update, "
+                        "which always wins")
+    common.add_argument("--config", default="fleetrec_model1")
+    common.add_argument("--batch", type=int, default=1024)
+    common.add_argument("--max-rows", type=int, default=0,
+                        help="cap table rows (dev/testing)")
+    common.add_argument("--dtype", default="",
+                        help="override compute dtype (float32|bfloat16)")
+    common.add_argument("--table-scheme", default="pm1")
+    common.add_argument("--mlp-scheme", default="ones")
+
+    s = sub.add_parser("serve", parents=[common])
+    s.add_argument("--port", type=int, default=7080)
+    s.add_argument("--slots", type=int, default=8)
+    s.add_argument("--batches", type=int, default=100)
+    s.set_defaults(fn=cmd_serve)
+
+    s = sub.add_parser("loadgen", parents=[common])
+    s.add_argument("--ip", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=7080)
+    s.add_argument("--batches", type=int, default=100)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_loadgen)
+
+    s = sub.add_parser("bench", parents=[common])
+    s.add_argument("--iters", type=int, default=32)
+    s.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    if getattr(args, "platform", ""):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -5,25 +5,27 @@ placement and gather tree (FPGA/kernel/user_krnl/embedding_krnl/src/hls/
 embedding_krnl.cpp: per-channel ``load_single_embedding_*`` burst loaders
 :1049-1095 and the static interleave tree ``gather_embeddings`` :1230-1347).
 
-Layout
-------
-Tables are grouped by embedding dim ``d``.  Within a group, each table packs
-``s = 128 // d`` logical rows into one 128-lane physical row, and all the
-group's physical rows are stacked into a single ``[phys_rows_total, 128]``
-array.  Why: XLA pads the minor-most dim to 128 lanes, so a naive
-``[rows, d]`` table wastes ``128/d``x HBM capacity and bandwidth (32x for
-the reference's dim-4 PLRAM tables, 4x for the 1e8-row dim-32 DDR tables —
-which would then not even fit in one chip's HBM).  The packed layout has
-zero lane waste and every gather touches exactly one aligned 128-lane row.
+Strategy (measured on v5e; see bench notes in ops/):
 
-Lookup
-------
-For a group: physical row index = base[t] + idx // s, sub-row = idx % s.
-One ``take`` per group fetches [B, n_tables, 128]; a reshape to
-[B, n, s, d] + take_along_axis(sub) extracts the logical row — all VPU
-work that XLA fuses.  Finally a single static feature-axis gather places
-every table slice at its configured ``out_offset`` (the VECTOR_START_IDX_*
-layout, constants.hpp:279-306) and appends the dense tail, replacing the
+* Small tables (rows <= onehot_max, the reference's PLRAM/URAM class):
+  one-hot MXU lookup.  Tables are stacked per (rows_pad, dim) class into a
+  [n_tables, rows_pad, dim] buffer; lookup is a batched dot_general of a
+  one-hot [B, n, rows_pad] against it.  Exact in fp32 (each reduction has
+  exactly one nonzero) and ~2x faster than XLA's row gather below ~2K rows.
+
+* Large tables (the HBM/DDR class): ``s = 128 // dim`` logical rows pack
+  into one 128-lane physical row (zero lane-padding waste — a naive
+  [rows, dim] layout costs 128/dim x HBM capacity, 4x for the 1e8-row
+  dim-32 tables which then don't fit), ALL tables share ONE unified
+  [phys_total, 128] buffer, and a single jnp.take fetches every (query,
+  table) physical row at once (~13-16 ns/row, the measured XLA gather
+  floor; a hand-rolled Pallas DMA pipeline measured 3x slower).  Sub-row
+  extraction uses a mask-einsum (2.5x faster than take_along_axis, and
+  exact: one nonzero per reduction).
+
+Finally a single static feature-axis gather places every table slice at
+its configured ``out_offset`` (the VECTOR_START_IDX_* layout,
+constants.hpp:279-306) and appends the dense tail, replacing the
 reference's hard-wired group_4/group_2/group_1 interleave network.
 """
 
@@ -38,15 +40,37 @@ import numpy as np
 
 from ..config import LANES, ModelConfig, TableSpec
 
+# Tables at or below this row count go to the one-hot MXU path.
+DEFAULT_ONEHOT_MAX = 2048
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
 
 @dataclasses.dataclass(frozen=True)
-class GroupMeta:
-    """Static metadata for one dim-group (hashable; closed over by jit)."""
+class OneHotClass:
+    """Tables of one (rows_pad, dim) class, stacked: buffer [n, rows_pad, dim]."""
 
     dim: int
-    table_ids: Tuple[int, ...]  # global table ids, in group order
-    base_phys: Tuple[int, ...]  # physical-row base of each table in the group buffer
-    phys_rows_total: int
+    rows_pad: int
+    table_ids: Tuple[int, ...]
+
+    @property
+    def num_tables(self) -> int:
+        return len(self.table_ids)
+
+
+@dataclasses.dataclass(frozen=True)
+class TakeGroup:
+    """Tables of one dim sharing the unified packed buffer.
+
+    base_phys are absolute physical-row offsets into the unified buffer.
+    """
+
+    dim: int
+    table_ids: Tuple[int, ...]
+    base_phys: Tuple[int, ...]
 
     @property
     def rows_per_phys(self) -> int:
@@ -61,55 +85,80 @@ class GroupMeta:
 class PackedLayout:
     """Static lookup plan for a set of tables (usually one shard's subset)."""
 
-    groups: Tuple[GroupMeta, ...]
-    # Map from output feature position -> source position in
-    # concat([group embeddings..., dense, zero]) — see lookup_concat.
+    onehot_classes: Tuple[OneHotClass, ...]
+    take_groups: Tuple[TakeGroup, ...]
+    take_phys_total: int
+    # Map output feature position -> source position in
+    # concat([onehot outs..., take outs..., dense, zero]).
     feature_perm: Tuple[int, ...]
     feature_dim: int
     dense_dim: int
-    # column order of the index matrix: indices[:, k] belongs to
-    # table id index_table_ids[k]
+    # index-matrix column order: column k belongs to table index_table_ids[k]
     index_table_ids: Tuple[int, ...]
+
+    @property
+    def n_onehot(self) -> int:
+        return sum(c.num_tables for c in self.onehot_classes)
+
+    @property
+    def n_take(self) -> int:
+        return sum(g.num_tables for g in self.take_groups)
 
 
 def build_layout(
-    tables: Sequence[TableSpec], feature_dim: int, dense_dim: int = 0
+    tables: Sequence[TableSpec],
+    feature_dim: int,
+    dense_dim: int = 0,
+    onehot_max: int = DEFAULT_ONEHOT_MAX,
 ) -> PackedLayout:
-    """Plan packing for ``tables`` into dim-groups + the static layout perm.
+    """Plan the two-path packing + the static output-layout permutation.
 
     ``feature_dim`` is the width of the produced feature vector; positions
     not covered by a table or the dense tail are zero-filled (model2 pads
     876 -> 880, embedding_98_krnl constants.hpp:13).
     """
-    by_dim: Dict[int, List[TableSpec]] = {}
-    for t in tables:
-        by_dim.setdefault(t.dim, []).append(t)
+    small = [t for t in tables if t.rows <= onehot_max]
+    large = [t for t in tables if t.rows > onehot_max]
 
-    groups: List[GroupMeta] = []
-    # source position of each table's flat slice in the concatenated
-    # group-embedding vector
-    src_offset: Dict[int, int] = {}
-    cursor = 0
+    # one-hot classes keyed by (rows_pad, dim); rows pad to a multiple of 8
+    # sublanes so class members share a buffer without waste.
+    by_class: Dict[Tuple[int, int], List[TableSpec]] = {}
+    for t in small:
+        key = (_round_up(max(t.rows, 8), 8), t.dim)
+        by_class.setdefault(key, []).append(t)
+    classes = tuple(
+        OneHotClass(dim=d, rows_pad=rp, table_ids=tuple(t.table_id for t in ts))
+        for (rp, d), ts in sorted(by_class.items())
+    )
+
+    by_dim: Dict[int, List[TableSpec]] = {}
+    for t in large:
+        by_dim.setdefault(t.dim, []).append(t)
+    groups: List[TakeGroup] = []
+    phys = 0
     for d in sorted(by_dim):
         ts = by_dim[d]
-        bases, b = [], 0
+        bases = []
         for t in ts:
-            bases.append(b)
-            b += t.phys_rows
+            bases.append(phys)
+            phys += t.phys_rows
         groups.append(
-            GroupMeta(
-                dim=d,
-                table_ids=tuple(t.table_id for t in ts),
-                base_phys=tuple(bases),
-                phys_rows_total=b,
-            )
+            TakeGroup(dim=d, table_ids=tuple(t.table_id for t in ts), base_phys=tuple(bases))
         )
-        for t in ts:
-            src_offset[t.table_id] = cursor
-            cursor += d
+
+    # source offsets: onehot outs first (class order), then take outs
+    src_offset: Dict[int, int] = {}
+    cursor = 0
+    for c in classes:
+        for tid in c.table_ids:
+            src_offset[tid] = cursor
+            cursor += c.dim
+    for g in groups:
+        for tid in g.table_ids:
+            src_offset[tid] = cursor
+            cursor += g.dim
     emb_total = cursor
 
-    # Source vector = [group embeddings (emb_total) | dense (dense_dim) | 0]
     zero_src = emb_total + dense_dim
     perm = np.full(feature_dim, zero_src, dtype=np.int64)
     for t in tables:
@@ -119,9 +168,14 @@ def build_layout(
     if dense_dim:
         perm[feature_dim - dense_dim :] = np.arange(emb_total, emb_total + dense_dim)
 
-    index_ids = tuple(tid for g in groups for tid in g.table_ids)
+    index_ids = tuple(
+        [tid for c in classes for tid in c.table_ids]
+        + [tid for g in groups for tid in g.table_ids]
+    )
     return PackedLayout(
-        groups=tuple(groups),
+        onehot_classes=classes,
+        take_groups=tuple(groups),
+        take_phys_total=phys,
         feature_perm=tuple(int(p) for p in perm),
         feature_dim=feature_dim,
         dense_dim=dense_dim,
@@ -131,18 +185,25 @@ def build_layout(
 
 @dataclasses.dataclass
 class PackedTables:
-    """Device-resident packed table storage: one [phys, 128] array per
-    dim-group (a pytree leaf per group)."""
+    """Device-resident storage: one stacked buffer per one-hot class plus
+    the unified take buffer (pytree)."""
 
     layout: PackedLayout
-    buffers: List[jax.Array]  # parallel to layout.groups
+    onehot_buffers: List[jax.Array]  # parallel to layout.onehot_classes
+    take_buffer: Optional[jax.Array]  # [phys_total, 128] or None
 
     def tree_flatten(self):
-        return self.buffers, self.layout
+        leaves = list(self.onehot_buffers)
+        if self.take_buffer is not None:
+            leaves.append(self.take_buffer)
+        return leaves, (self.layout, self.take_buffer is not None)
 
     @classmethod
-    def tree_unflatten(cls, layout, buffers):
-        return cls(layout=layout, buffers=list(buffers))
+    def tree_unflatten(cls, aux, leaves):
+        layout, has_take = aux
+        leaves = list(leaves)
+        take = leaves.pop() if has_take else None
+        return cls(layout=layout, onehot_buffers=leaves, take_buffer=take)
 
 
 jax.tree_util.register_pytree_node(
@@ -156,41 +217,45 @@ def pack_tables(
     layout: PackedLayout,
     dtype=jnp.float32,
 ) -> PackedTables:
-    """Pack per-table [rows, dim] numpy arrays into the grouped layout.
-
-    ``tables_np`` is parallel to ``specs`` (order = config order); the
-    layout's groups reference tables by table_id.
-    """
+    """Pack per-table [rows, dim] numpy arrays into the two-path layout."""
     by_id = {s.table_id: (s, np.asarray(a)) for s, a in zip(specs, tables_np)}
-    buffers = []
-    for g in layout.groups:
-        s = g.rows_per_phys
-        buf = np.zeros((g.phys_rows_total, LANES), dtype=np.float32)
-        for tid, base in zip(g.table_ids, g.base_phys):
+
+    onehot_buffers = []
+    for c in layout.onehot_classes:
+        buf = np.zeros((c.num_tables, c.rows_pad, c.dim), dtype=np.float32)
+        for j, tid in enumerate(c.table_ids):
             spec, arr = by_id[tid]
             assert arr.shape == (spec.rows, spec.dim), (tid, arr.shape)
-            padded_rows = spec.phys_rows * s
-            p = np.zeros((padded_rows, spec.dim), dtype=np.float32)
-            p[: spec.rows] = arr
-            buf[base : base + spec.phys_rows] = p.reshape(spec.phys_rows, LANES)
-        buffers.append(jnp.asarray(buf, dtype=dtype))
-    return PackedTables(layout=layout, buffers=buffers)
+            buf[j, : spec.rows] = arr
+        onehot_buffers.append(jnp.asarray(buf, dtype=dtype))
+
+    take = None
+    if layout.take_phys_total:
+        buf = np.zeros((layout.take_phys_total, LANES), dtype=np.float32)
+        for g in layout.take_groups:
+            s = g.rows_per_phys
+            for tid, base in zip(g.table_ids, g.base_phys):
+                spec, arr = by_id[tid]
+                assert arr.shape == (spec.rows, spec.dim), (tid, arr.shape)
+                padded_rows = spec.phys_rows * s
+                p = np.zeros((padded_rows, spec.dim), dtype=np.float32)
+                p[: spec.rows] = arr
+                buf[base : base + spec.phys_rows] = p.reshape(spec.phys_rows, LANES)
+        take = jnp.asarray(buf, dtype=dtype)
+    return PackedTables(layout=layout, onehot_buffers=onehot_buffers, take_buffer=take)
 
 
-def group_lookup(
-    buf: jax.Array, g: GroupMeta, idx: jax.Array
-) -> jax.Array:
-    """Gather one dim-group.  idx: [B, n_tables_in_group] logical row ids.
-    Returns [B, n * d] embeddings in group order."""
-    s = g.rows_per_phys
-    base = jnp.asarray(g.base_phys, dtype=jnp.int32)  # [n]
-    phys = base[None, :] + (idx // s).astype(jnp.int32)  # [B, n]
-    sub = (idx % s).astype(jnp.int32)  # [B, n]
-    rows = jnp.take(buf, phys.reshape(-1), axis=0)  # [B*n, 128]
+def _onehot_lookup(buf: jax.Array, c: OneHotClass, idx: jax.Array) -> jax.Array:
+    """idx: [B, n] -> [B, n*d].  Exact: one nonzero per reduction row."""
     B, n = idx.shape
-    rows = rows.reshape(B, n, s, g.dim)
-    picked = jnp.take_along_axis(rows, sub[:, :, None, None], axis=2)  # [B,n,1,d]
-    return picked.reshape(B, n * g.dim)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (c.rows_pad,), 0)
+    oh = (idx[..., None] == iota).astype(buf.dtype)  # [B, n, R]
+    out = jax.lax.dot_general(
+        oh, buf,
+        dimension_numbers=(((2,), (1,)), ((1,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [n, B, d]
+    return out.transpose(1, 0, 2).reshape(B, n * c.dim).astype(buf.dtype)
 
 
 def lookup_concat(
@@ -201,21 +266,50 @@ def lookup_concat(
 ) -> jax.Array:
     """Full multi-table lookup + fixed-offset concat.
 
-    indices: [B, num_tables] in *group order* — column k belongs to table
+    indices: [B, num_tables] in *plan order* — column k belongs to table
     ``layout.index_table_ids[k]``; use ``index_columns`` to permute an index
     matrix from config/spec order.  dense: [B, dense_dim].
-    Returns [B, feature_dim] with the reference VECTOR_START_IDX layout
-    when apply_layout, else the raw grouped concat (+ dense tail) for
+    Returns [B, feature_dim] in the reference VECTOR_START_IDX layout when
+    apply_layout, else the raw plan-order concat (+ dense tail) for
     psum-mode where the layout permutation is folded into W1.
+
+    Out-of-range row ids: one-hot path yields zeros; take path follows
+    jnp.take's fill semantics (NaN) — bad indices surface in scores.
     """
     layout = packed.layout
     B = indices.shape[0]
     parts = []
     k = 0
-    for g, buf in zip(layout.groups, packed.buffers):
-        gi = jax.lax.slice_in_dim(indices, k, k + g.num_tables, axis=1)
-        parts.append(group_lookup(buf, g, gi))
-        k += g.num_tables
+    for c, buf in zip(layout.onehot_classes, packed.onehot_buffers):
+        gi = jax.lax.slice_in_dim(indices, k, k + c.num_tables, axis=1)
+        parts.append(_onehot_lookup(buf, c, gi))
+        k += c.num_tables
+
+    if layout.take_groups:
+        n_take = layout.n_take
+        tidx = jax.lax.slice_in_dim(indices, k, k + n_take, axis=1)  # [B, n_take]
+        # physical row + sub-row per column
+        bases, ss = [], []
+        for g in layout.take_groups:
+            bases.extend(g.base_phys)
+            ss.extend([g.rows_per_phys] * g.num_tables)
+        base = jnp.asarray(bases, dtype=jnp.int32)
+        s_arr = jnp.asarray(ss, dtype=jnp.int32)
+        phys = base[None, :] + (tidx // s_arr[None, :]).astype(jnp.int32)
+        sub = (tidx % s_arr[None, :]).astype(jnp.int32)
+        rows = jnp.take(packed.take_buffer, phys.reshape(-1), axis=0)
+        rows = rows.reshape(B, n_take, LANES)
+        # per-group sub-row extraction via mask-einsum (exact)
+        kk = 0
+        for g in layout.take_groups:
+            ng, s, d = g.num_tables, g.rows_per_phys, g.dim
+            r = jax.lax.slice_in_dim(rows, kk, kk + ng, axis=1).reshape(B, ng, s, d)
+            sb = jax.lax.slice_in_dim(sub, kk, kk + ng, axis=1)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (s,), 0)
+            m = (sb[..., None] == iota).astype(r.dtype)  # [B, ng, s]
+            parts.append(jnp.einsum("bnsd,bns->bnd", r, m).reshape(B, ng * d))
+            kk += ng
+
     emb = jnp.concatenate(parts, axis=1) if parts else jnp.zeros((B, 0))
     if not apply_layout:
         if dense is not None:
@@ -233,7 +327,7 @@ def lookup_concat(
 
 def index_columns(layout: PackedLayout, spec_table_ids: Sequence[int]) -> np.ndarray:
     """Static permutation taking an index matrix whose columns follow
-    ``spec_table_ids`` order into the group order lookup_concat expects:
-    ``indices_grouped = indices[:, index_columns(...)]``."""
+    ``spec_table_ids`` order into the plan order lookup_concat expects:
+    ``indices_plan = indices[:, index_columns(...)]``."""
     col_of = {tid: j for j, tid in enumerate(spec_table_ids)}
     return np.asarray([col_of[tid] for tid in layout.index_table_ids], dtype=np.int64)

@@ -52,7 +52,18 @@ class ShardedFleetRec:
         repl = NamedSharding(mesh, P())
         rowshard = NamedSharding(mesh, P("model", None))
         m = self.n_model
-        table_shardings = [rowshard for _ in params["tables"].buffers]
+        pt = params["tables"]
+        # one-hot class buffers [n, rows_pad, dim]: shard over tables when
+        # divisible (table-wise model parallelism), else replicate — they
+        # are small (the reference's PLRAM/URAM class).
+        oh = [
+            NamedSharding(mesh, P("model", None, None)) if b.shape[0] % m == 0 else repl
+            for b in pt.onehot_buffers
+        ]
+        leaves = oh + ([rowshard] if pt.take_buffer is not None else [])
+        tables = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(pt), leaves
+        )
         mlp = []
         for i, w in enumerate(params["mlp"]):
             if i == 0 and w.shape[0] % m == 0:
@@ -62,9 +73,6 @@ class ShardedFleetRec:
                 mlp.append(rowshard)
             else:
                 mlp.append(repl)
-        tables = jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(params["tables"]), table_shardings
-        )
         return {"tables": tables, "mlp": mlp}
 
     def data_shardings(self):
@@ -78,12 +86,12 @@ class ShardedFleetRec:
         table rows), then place params per param_shardings."""
         m = self.n_model
         tables = params["tables"]
-        padded = []
-        for buf in tables.buffers:
-            r = buf.shape[0]
-            pad = (-r) % m
-            padded.append(jnp.pad(buf, ((0, pad), (0, 0))) if pad else buf)
-        tables = dataclasses.replace(tables, buffers=padded)
+        take = tables.take_buffer
+        if take is not None:
+            pad = (-take.shape[0]) % m
+            if pad:
+                take = jnp.pad(take, ((0, pad), (0, 0)))
+        tables = dataclasses.replace(tables, take_buffer=take)
         params = {"tables": tables, "mlp": params["mlp"]}
         return jax.device_put(params, self.param_shardings(params))
 
