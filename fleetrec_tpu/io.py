@@ -1,0 +1,84 @@
+"""Parameter save/load — the table-loading path the reference lacks
+(its hosts synthesize tables at startup and keep nothing on disk,
+host.cpp:282-718; SURVEY §5 flags the gap).
+
+Formats:
+  * npz  — single-file, host-memory sized models (dev/test).
+  * orbax — sharded checkpoint directory for multi-host scale (tables are
+    saved with their shardings; restore re-shards onto the current mesh).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def save_npz(path: str, params) -> None:
+    tables = params["tables"]
+    arrs = {}
+    for i, b in enumerate(tables.onehot_buffers):
+        arrs[f"onehot_{i}"] = np.asarray(b)
+    if tables.take_buffer is not None:
+        arrs["take"] = np.asarray(tables.take_buffer)
+    for i, w in enumerate(params["mlp"]):
+        arrs[f"mlp_{i}"] = np.asarray(w)
+    np.savez(path, **arrs)
+
+
+def load_npz(path: str, model) -> dict:
+    """Rebuild a params pytree for ``model`` from a save_npz file."""
+    import jax.numpy as jnp
+
+    from .models.embedding import PackedTables
+
+    data = np.load(path)
+    layout = model.layout
+    dtype = jnp.dtype(model.cfg.table_dtype)
+    onehot = [jnp.asarray(data[f"onehot_{i}"], dtype=dtype)
+              for i in range(len(layout.onehot_classes))]
+    take = jnp.asarray(data["take"], dtype=dtype) if "take" in data else None
+    n_mlp = len(model.cfg.mlp.widths) - 1
+    mlp = [jnp.asarray(data[f"mlp_{i}"], dtype=jnp.dtype(model.cfg.dtype))
+           for i in range(n_mlp)]
+    tables = PackedTables(layout=layout, onehot_buffers=onehot, take_buffer=take)
+    return {"tables": tables, "mlp": mlp}
+
+
+def save_orbax(path: str, params) -> None:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    tables = params["tables"]
+    tree = {
+        "onehot": list(tables.onehot_buffers),
+        "take": tables.take_buffer,
+        "mlp": list(params["mlp"]),
+    }
+    ckptr.save(os.path.abspath(path), tree)
+    ckptr.wait_until_finished()
+
+
+def load_orbax(path: str, model, like_params) -> dict:
+    """Restore into the structure/shardings of ``like_params``."""
+    import orbax.checkpoint as ocp
+
+    from .models.embedding import PackedTables
+
+    tables = like_params["tables"]
+    tpl = {
+        "onehot": list(tables.onehot_buffers),
+        "take": tables.take_buffer,
+        "mlp": list(like_params["mlp"]),
+    }
+    ckptr = ocp.StandardCheckpointer()
+    tree = ckptr.restore(os.path.abspath(path), tpl)
+    out_tables = PackedTables(
+        layout=model.layout, onehot_buffers=list(tree["onehot"]), take_buffer=tree["take"]
+    )
+    return {"tables": out_tables, "mlp": list(tree["mlp"])}

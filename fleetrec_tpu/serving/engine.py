@@ -103,6 +103,27 @@ class ServingEngine:
                    max_in_flight)
 
     @classmethod
+    def from_sharded(cls, sharded, params, batch_size: int, max_in_flight: int = 2):
+        """Serve through a ShardedFleetRec on a multi-chip mesh — the analog
+        of the reference's scatter tier (scatter_krnl fanning one embedding
+        stream out to up to 11 scoring nodes, scatter.cpp:116-235): one
+        ingest point, batch sharded over the "data" axis, tables over
+        "model"."""
+        import jax.numpy as jnp
+
+        model = sharded.model
+
+        def score(indices_np, dense_np):
+            i, d = sharded.shard_batch(
+                jnp.asarray(indices_np),
+                None if dense_np is None else jnp.asarray(dense_np),
+            )
+            return sharded.forward(params, i, d)
+
+        return cls(score, model.cfg.num_tables, model.cfg.dense_dim, batch_size,
+                   max_in_flight)
+
+    @classmethod
     def mlp_only(cls, model, params, batch_size: int, max_in_flight: int = 2):
         """Feature mode: score pre-gathered feature vectors (reference wire
         semantics — the server only runs the matmul chain)."""

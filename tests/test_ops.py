@@ -1,0 +1,31 @@
+"""Pallas op tests (interpreter mode on the CPU backend)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fleetrec_tpu.config import MLPSpec
+from fleetrec_tpu.models.mlp import init_mlp_params, mlp_apply
+from fleetrec_tpu.ops import fused_mlp, fused_mlp_available
+
+
+def test_fused_mlp_matches_xla_chain():
+    spec = MLPSpec(input_dim=352, hidden=(1024, 512, 256))
+    assert fused_mlp_available(spec.widths, jnp.float32)
+    ws = init_mlp_params(spec, scheme="uniform", seed=3)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (700, 352)).astype(np.float32))  # non-multiple of tile
+    ref = np.asarray(jax.jit(lambda w, x: mlp_apply(w, x))(ws, x))
+    out = np.asarray(jax.jit(lambda w, x: fused_mlp(w, x))(ws, x))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_mlp_relu_and_parity_constant():
+    spec = MLPSpec(input_dim=512, hidden=(1024, 512, 256))
+    ws = init_mlp_params(spec, scheme="ones")
+    x = jnp.ones((16, 512), jnp.float32)
+    out = np.asarray(jax.jit(lambda w, x: fused_mlp(w, x))(ws, x))
+    np.testing.assert_array_equal(out[:, 0], np.full(16, 68719476736.0, np.float32))
+    # relu variant runs (values positive -> same result)
+    out_r = np.asarray(jax.jit(lambda w, x: fused_mlp(w, x, activation="relu"))(ws, x))
+    np.testing.assert_array_equal(out, out_r)

@@ -114,3 +114,26 @@ def test_pm1_parity_end_to_end():
     scores = np.asarray(jax.jit(model.forward)(params, jnp.asarray(idx), jnp.asarray(dense)))
     golden = ref.forward(cfg, tables, ref.init_mlp_weights(cfg, "ones"), idx, dense)
     np.testing.assert_array_equal(scores, golden.astype(np.float32))
+
+
+def test_take_lanes_64_gather_exact():
+    """64-lane packed take buffer (the 16-bit serving layout) must produce
+    the same gather/concat as the 128-lane layout (fp32 here; the dtype is
+    orthogonal to the packing math)."""
+    from fleetrec_tpu.models.embedding import (
+        build_layout, index_columns, lookup_concat, pack_tables,
+    )
+
+    cfg = C.micro_test(batch_size=24)
+    tables = ref.init_tables(cfg, scheme="rowid")
+    idx, dense = rand_indices(cfg, 24), rand_dense(cfg, 24)
+    golden = ref.gather_concat(cfg, tables, idx, dense)
+    for lanes in (64, 128):
+        layout = build_layout(cfg.tables, cfg.feature_dim, cfg.dense_dim,
+                              take_lanes=lanes)
+        packed = pack_tables(tables, cfg.tables, layout)
+        gi = idx[:, index_columns(layout, [t.table_id for t in cfg.tables])]
+        feats = np.asarray(
+            lookup_concat(packed, jnp.asarray(gi), jnp.asarray(dense))
+        )
+        np.testing.assert_array_equal(feats, golden)
