@@ -100,23 +100,41 @@ bool recv_all(Ingest* ing, int fd, char* dst, size_t n, int64_t* first_ns) {
   return got == n;
 }
 
-void sender_thread(Ingest* ing, int sender, int listen_fd) {
-  // Accept one connection per sender (the reference's one socket per
-  // sender per server thread, cuda_server.c:422-487).
-  sockaddr_in cli{};
-  socklen_t len = sizeof(cli);
-  int fd = ::accept(listen_fd, (sockaddr*)&cli, &len);
-  if (fd < 0) {
-    ing->error_code.store(-errno);
-    return;
-  }
-  int one = 1;
-  setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+bool run_connection(Ingest* ing, int sender, int fd, size_t nbytes, size_t off,
+                    int64_t* batch_io);
 
+void sender_thread(Ingest* ing, int sender, int listen_fd) {
+  // Accept-and-resume loop: unlike the reference (which printf+exits on any
+  // socket error, cuda_server.c:370-401), a dropped sender connection
+  // re-enters accept() and the replacement sender resumes at the batch
+  // boundary that was in flight — the partially filled region is simply
+  // rewritten from offset 0 of this sender's slice.
   const size_t nbytes = ing->bytes_per_sender[sender];
   const size_t off = ing->offset_per_sender[sender];
+  int64_t batch = 0;
 
-  for (int64_t batch = 0; !ing->stop.load(std::memory_order_relaxed); ++batch) {
+  while (!ing->stop.load(std::memory_order_relaxed)) {
+    sockaddr_in cli{};
+    socklen_t len = sizeof(cli);
+    int fd = ::accept(listen_fd, (sockaddr*)&cli, &len);
+    if (fd < 0) {
+      if (!ing->stop.load(std::memory_order_relaxed))
+        ing->error_code.store(-errno);
+      return;
+    }
+    int one = 1;
+    setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+    bool conn_ok = run_connection(ing, sender, fd, nbytes, off, &batch);
+    ::close(fd);
+    if (!conn_ok) return;  // stop requested
+  }
+}
+
+// Receive batches on one connection; returns false only on stop.
+bool run_connection(Ingest* ing, int sender, int fd, size_t nbytes, size_t off,
+                    int64_t* batch_io) {
+  for (int64_t& batch = *batch_io; !ing->stop.load(std::memory_order_relaxed);
+       ++batch) {
     int slot = (int)(batch % ing->n_slots);
     SlotState& st = ing->slots[slot];
     // Wait until this slot has advanced to OUR batch (consumer released all
@@ -127,10 +145,14 @@ void sender_thread(Ingest* ing, int sender, int listen_fd) {
         return st.batch_id.load(std::memory_order_acquire) == batch ||
                ing->stop.load(std::memory_order_relaxed);
       });
-      if (ing->stop.load(std::memory_order_relaxed)) break;
+      if (ing->stop.load(std::memory_order_relaxed)) return false;
     }
     int64_t first_ns = 0;
-    if (!recv_all(ing, fd, ing->slot_ptr(slot) + off, nbytes, &first_ns)) break;
+    if (!recv_all(ing, fd, ing->slot_ptr(slot) + off, nbytes, &first_ns)) {
+      // Connection dropped (or stop). Do not advance `batch`: the next
+      // connection refills this same batch from the start of our region.
+      return !ing->stop.load(std::memory_order_relaxed);
+    }
     ing->bytes_received.fetch_add((int64_t)nbytes, std::memory_order_relaxed);
     // Record earliest first-byte across senders (the reference stamps at
     // first recv byte per sender, cuda_server.c:519).
@@ -148,7 +170,7 @@ void sender_thread(Ingest* ing, int sender, int listen_fd) {
       ing->cv_ready.notify_all();
     }
   }
-  ::close(fd);
+  return false;
 }
 
 }  // namespace

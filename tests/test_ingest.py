@@ -162,3 +162,41 @@ def test_engine_index_validation():
     idx[1, 2] = 10**6
     with pytest.raises(ValueError, match="out of range"):
         eng.validate_indices(idx, [t.rows for t in cfg.tables])
+
+
+def test_sender_reconnect_resumes_batch():
+    """A sender that dies mid-batch is replaced: the new connection refills
+    the in-flight batch and the stream continues (the reference printf+exits
+    on any socket error; we re-accept)."""
+    import socket
+    import threading
+
+    B, F = 4, 32
+    nbytes = B * F * 4
+    with IngestServer([nbytes], n_slots=4, port_base=PORT + 50) as ing:
+        def sender_a():
+            s = socket.create_connection(("127.0.0.1", PORT + 50), timeout=5)
+            s.sendall(np.full(B * F, 1.0, np.float32).tobytes())   # batch 0
+            s.sendall(np.full(B * F // 2, 9.0, np.float32).tobytes())  # half of batch 1
+            s.close()  # dies mid-batch
+
+        def sender_b():
+            s = socket.create_connection(("127.0.0.1", PORT + 50), timeout=5)
+            for _ in range(2):  # batches 1 and 2, fresh from region start
+                s.sendall(np.full(B * F, 2.0, np.float32).tobytes())
+            s.close()
+
+        threading.Thread(target=sender_a, daemon=True).start()
+        r = ing.acquire(5000)
+        assert r is not None
+        slot, view, *_ = r
+        np.testing.assert_array_equal(view, np.full(B * F, 1.0, np.float32))
+        ing.release(slot)
+        time.sleep(0.2)  # let sender_a die
+        threading.Thread(target=sender_b, daemon=True).start()
+        for _ in range(2):
+            r = ing.acquire(5000)
+            assert r is not None, "reconnected sender's batches never arrived"
+            slot, view, *_ = r
+            np.testing.assert_array_equal(view, np.full(B * F, 2.0, np.float32))
+            ing.release(slot)
