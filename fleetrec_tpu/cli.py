@@ -88,34 +88,75 @@ def cmd_loadgen(args):
 
 
 def cmd_bench(args):
-    """Device throughput for a config (scan-based; see utils.timing)."""
+    """Device throughput for a config (scan-based; see utils.timing).
+
+    --stage picks the pipeline slice, the analog of the reference's
+    measurement variants that disable the matmuls to isolate the data path
+    (GPU/measure_network_cuda_cp_latency_*, cuda_server.c:627-650):
+      e2e (default) | lookup (gather+concat only) | mlp (scoring only).
+    """
     import jax.numpy as jnp
 
+    from .models.embedding import lookup_concat
+    from .models.mlp import mlp_apply
     from .utils.timing import DeviceBench
 
     cfg, model, params, _ = _build(args)
     rng = np.random.default_rng(0)
     K = args.iters
-    idx = jnp.asarray(
-        np.stack([rng.integers(0, t.rows, (K, args.batch)) for t in cfg.tables], 2).astype(np.int32)
-    )
-    dense = (
-        jnp.asarray(rng.uniform(-1, 1, (K, args.batch, cfg.dense_dim)).astype(np.float32))
-        if cfg.dense_dim
-        else None
-    )
-    if dense is None:
-        bench = DeviceBench(lambda p, x: model.forward(p, x, None))
-        r = bench.measure(params, idx)
+    if args.stage == "mlp":
+        x = jnp.asarray(
+            rng.uniform(-1, 1, (K, args.batch, cfg.feature_dim)).astype(np.float32)
+        ).astype(jnp.dtype(cfg.dtype))
+        bench = DeviceBench(lambda p, xb: mlp_apply(p["mlp"], xb))
+        r = bench.measure(params, x)
     else:
-        bench = DeviceBench(lambda p, x: model.forward(p, x[0], x[1]))
-        r = bench.measure(params, (idx, dense))
+        idx = jnp.asarray(
+            np.stack(
+                [rng.integers(0, t.rows, (K, args.batch)) for t in cfg.tables], 2
+            ).astype(np.int32)
+        )
+        dense = (
+            jnp.asarray(rng.uniform(-1, 1, (K, args.batch, cfg.dense_dim)).astype(np.float32))
+            if cfg.dense_dim
+            else None
+        )
+        if args.stage == "lookup":
+            perm = jnp.asarray(np.asarray(model.index_perm), dtype=jnp.int32)
+
+            def step(p, x):
+                i = (x[0] if dense is not None else x)[:, perm]
+                d = x[1] if dense is not None else None
+                return lookup_concat(p["tables"], i, d)
+        else:
+
+            def step(p, x):
+                if dense is not None:
+                    return model.forward(p, x[0], x[1])
+                return model.forward(p, x, None)
+
+        bench = DeviceBench(step)
+        r = bench.measure(params, (idx, dense) if dense is not None else idx)
     qps = args.batch / (r["per_iter_ms"] / 1e3)
     print(json.dumps({
-        "config": cfg.name, "batch": args.batch, "dtype": cfg.dtype,
+        "config": cfg.name, "stage": args.stage, "batch": args.batch,
+        "dtype": cfg.dtype,
         "ms_per_batch": round(r["per_iter_ms"], 4),
         "inferences_per_sec": round(qps, 1),
     }))
+
+
+def cmd_icibench(args):
+    """Collective bandwidth over the mesh — iperf_krnl's ICI analog."""
+    import jax
+
+    from .benchmarks import ici_bench
+    from .parallel import make_mesh
+
+    n = len(jax.devices())
+    model_ax = args.model_axis or n // args.data
+    mesh = make_mesh(data=args.data, model=model_ax)
+    print(json.dumps(ici_bench(mesh, mbytes=args.mbytes, iters=args.iters)))
 
 
 def main(argv=None):
@@ -151,7 +192,17 @@ def main(argv=None):
 
     s = sub.add_parser("bench", parents=[common])
     s.add_argument("--iters", type=int, default=32)
+    s.add_argument("--stage", default="e2e", choices=["e2e", "lookup", "mlp"])
     s.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("icibench", parents=[common],
+                       help="collective bandwidth microbench (iperf analog)")
+    s.add_argument("--data", type=int, default=1)
+    s.add_argument("--model-axis", type=int, default=0,
+                   help="model axis size; 0 = all devices")
+    s.add_argument("--mbytes", type=int, default=64)
+    s.add_argument("--iters", type=int, default=16)
+    s.set_defaults(fn=cmd_icibench)
 
     args = ap.parse_args(argv)
     if getattr(args, "platform", ""):

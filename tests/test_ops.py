@@ -29,3 +29,13 @@ def test_fused_mlp_relu_and_parity_constant():
     # relu variant runs (values positive -> same result)
     out_r = np.asarray(jax.jit(lambda w, x: fused_mlp(w, x, activation="relu"))(ws, x))
     np.testing.assert_array_equal(out, out_r)
+
+
+def test_ici_bench_runs_on_mesh():
+    from fleetrec_tpu.benchmarks import ici_bench
+    from fleetrec_tpu.parallel import make_mesh
+
+    r = ici_bench(make_mesh(1, 8), mbytes=2, iters=2)
+    assert r["model_axis"] == 8
+    for op in ("all_gather", "psum", "ppermute"):
+        assert r[op]["GB_s"] > 0
