@@ -146,6 +146,56 @@ def cmd_bench(args):
     }))
 
 
+def cmd_servebench(args):
+    """Latency-bounded serving bench: Poisson arrivals, batching window,
+    per-query p50/p99 (the BASELINE p99-SLA rig)."""
+    from .serving.servebench import run_servebench
+
+    cfg, model, params, _ = _build(args)
+    r = run_servebench(
+        model, params, batch_size=args.batch, offered_qps=args.qps,
+        duration_s=args.duration, max_wait_ms=args.max_wait_ms,
+    )
+    print(json.dumps({"config": cfg.name, **r.to_json()}))
+
+
+def cmd_netbench(args):
+    """Ingest-tier TCP throughput/latency rig over localhost — the analog
+    of the reference's iperf/hls_test network bring-up kernels and its
+    sender-side GB/s printouts (multiple_connections_network_client_sender.c
+    :91-96)."""
+    from .serving import IngestServer, Loadgen
+
+    nbytes = [args.bytes_per_batch] * args.senders
+    t_first = None
+    with IngestServer(nbytes, n_slots=args.slots, port_base=args.port) as ing:
+        lgs = [
+            Loadgen("127.0.0.1", args.port + s, [nbytes[s]], args.batches, fill=1.0)
+            for s in range(args.senders)
+        ]
+        for lg in lgs:
+            lg.threads[0].start()
+        lat = []
+        for _ in range(args.batches):
+            r = ing.acquire(30_000)
+            assert r is not None, "timeout"
+            slot, _view, t_fb, t_done = r
+            if t_first is None:
+                t_first = t_fb
+            lat.append((t_done - t_fb) / 1e6)
+            t_last = t_done
+            ing.release(slot)
+        total = ing.bytes_received
+        dt = (t_last - t_first) / 1e9
+        lat = np.asarray(lat[1:] or lat)
+        print(json.dumps({
+            "senders": args.senders, "batches": args.batches,
+            "GB_s": round(total / dt / 1e9, 3),
+            "batch_assembly_ms_p50": round(float(np.percentile(lat, 50)), 3),
+            "batch_assembly_ms_p99": round(float(np.percentile(lat, 99)), 3),
+        }))
+
+
 def cmd_icibench(args):
     """Collective bandwidth over the mesh — iperf_krnl's ICI analog."""
     import jax
@@ -194,6 +244,20 @@ def main(argv=None):
     s.add_argument("--iters", type=int, default=32)
     s.add_argument("--stage", default="e2e", choices=["e2e", "lookup", "mlp"])
     s.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("servebench", parents=[common])
+    s.add_argument("--qps", type=float, default=500_000)
+    s.add_argument("--duration", type=float, default=5.0)
+    s.add_argument("--max-wait-ms", type=float, default=2.0)
+    s.set_defaults(fn=cmd_servebench)
+
+    s = sub.add_parser("netbench")
+    s.add_argument("--senders", type=int, default=3)
+    s.add_argument("--bytes-per-batch", type=int, default=1024 * 1952 * 4)
+    s.add_argument("--batches", type=int, default=50)
+    s.add_argument("--slots", type=int, default=8)
+    s.add_argument("--port", type=int, default=27080)
+    s.set_defaults(fn=cmd_netbench)
 
     s = sub.add_parser("icibench", parents=[common],
                        help="collective bandwidth microbench (iperf analog)")

@@ -1,0 +1,130 @@
+"""Latency-bounded serving benchmark: Poisson query arrivals -> batcher ->
+fused scoring, per-QUERY latency percentiles.
+
+This is the rig behind the p99-SLA claim (the reference's SLA is per-batch
+wall time through recv->H2D->matmul, cuda_server.c:704-744; BASELINE.json
+asks for p99 <= 20 ms at target throughput).  Arrivals are synthetic (the
+ingest tier is benchmarked separately by `cli netbench`); the measured
+path is batch formation + device scoring + result readback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ServeBenchResult:
+    offered_qps: float
+    achieved_qps: float
+    n_queries: int
+    latency_ms_p50: float
+    latency_ms_p99: float
+    latency_ms_max: float
+    mean_batch_fill: float
+
+    def to_json(self):
+        return dataclasses.asdict(self)
+
+
+def run_servebench(
+    model,
+    params,
+    batch_size: int,
+    offered_qps: float,
+    duration_s: float = 5.0,
+    max_wait_ms: float = 2.0,
+    seed: int = 0,
+    max_in_flight: int = 2,
+) -> ServeBenchResult:
+    """Simulate Poisson arrivals at offered_qps; form batches of up to
+    batch_size, dispatching early after max_wait_ms; score on device.
+
+    Latency per query = arrival -> its batch's scores materialized on host.
+    Arrivals are generated on a virtual clock that tracks real time (the
+    generator never becomes the bottleneck: if the engine falls behind, the
+    backlog grows and latencies show it — closed-loop honesty).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    cfg = model.cfg
+    rng = np.random.default_rng(seed)
+    fwd = jax.jit(model.forward)
+
+    # pre-generate a pool of query rows to sample batches from cheaply
+    POOL = 1 << 14
+    idx_pool = np.stack(
+        [rng.integers(0, t.rows, POOL) for t in cfg.tables], 1
+    ).astype(np.int32)
+    dense_pool = (
+        rng.uniform(-1, 1, (POOL, cfg.dense_dim)).astype(np.float32)
+        if cfg.dense_dim
+        else None
+    )
+
+    # warm compile
+    warm_i = jnp.asarray(idx_pool[:batch_size])
+    warm_d = None if dense_pool is None else jnp.asarray(dense_pool[:batch_size])
+    fwd(params, warm_i, warm_d).block_until_ready()
+
+    # Poisson arrival times
+    n_max = int(offered_qps * duration_s * 1.2) + batch_size
+    gaps = rng.exponential(1.0 / offered_qps, size=n_max)
+    arrivals = np.cumsum(gaps)
+    arrivals = arrivals[arrivals < duration_s]
+
+    lat = []
+    fills = []
+    in_flight = []  # (scores_dev, member_arrivals)
+    t0 = time.time()
+    qi = 0
+    while qi < len(arrivals):
+        now = time.time() - t0
+        # wait until at least one query has arrived
+        if arrivals[qi] > now:
+            time.sleep(min(arrivals[qi] - now, 0.001))
+            continue
+        # batch formation: take all arrived, up to batch_size; if fewer,
+        # allow up to max_wait_ms from the FIRST query's arrival
+        deadline = arrivals[qi] + max_wait_ms / 1e3
+        end = qi
+        while True:
+            now = time.time() - t0
+            arrived = np.searchsorted(arrivals, now)
+            end = min(arrived, qi + batch_size)
+            if end - qi >= batch_size or now >= deadline:
+                break
+            time.sleep(0.0002)
+        count = max(end - qi, 1)
+        sel = (np.arange(qi, qi + batch_size)) % POOL  # fixed-shape batch
+        bi = jnp.asarray(idx_pool[sel])
+        bd = None if dense_pool is None else jnp.asarray(dense_pool[sel])
+        scores = fwd(params, bi, bd)
+        in_flight.append((scores, arrivals[qi:qi + count].copy()))
+        fills.append(count / batch_size)
+        qi += count
+        while len(in_flight) > max_in_flight:
+            s, arr = in_flight.pop(0)
+            np.asarray(s)  # readback forces completion
+            done = time.time() - t0
+            lat.extend((done - arr) * 1e3)
+    for s, arr in in_flight:
+        np.asarray(s)
+        done = time.time() - t0
+        lat.extend((done - arr) * 1e3)
+    wall = time.time() - t0
+    lat = np.asarray(lat)
+    return ServeBenchResult(
+        offered_qps=offered_qps,
+        achieved_qps=len(lat) / wall,
+        n_queries=len(lat),
+        latency_ms_p50=float(np.percentile(lat, 50)),
+        latency_ms_p99=float(np.percentile(lat, 99)),
+        latency_ms_max=float(lat.max()),
+        mean_batch_fill=float(np.mean(fills)),
+    )

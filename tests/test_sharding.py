@@ -83,3 +83,24 @@ def test_fleetrec_model3_two_shard_layout():
     sidx, sdense = sh.shard_batch(jnp.asarray(idx), jnp.asarray(dense))
     out = np.asarray(sh.forward(sparams, sidx, sdense))
     np.testing.assert_allclose(out, golden, rtol=1e-4, atol=2e-3)
+
+
+def test_trainer_reduces_loss_and_serves():
+    """optax Trainer over the serving params pytree: loss falls, and the
+    trained params serve through the same forward (train->serve loop)."""
+    from fleetrec_tpu.models.train import Trainer
+
+    cfg = C.micro_test(batch_size=64)
+    model, params = init_model(cfg, table_scheme="uniform", mlp_scheme="uniform")
+    rng = np.random.default_rng(0)
+    idx, dense = make_inputs(cfg, 64)
+    # learnable signal: label depends on one feature sign
+    labels = (dense[:, 0] > 0).astype(np.float32)
+    import optax
+
+    tr = Trainer(model, optimizer=optax.adagrad(0.3))
+    params, losses = tr.fit(params, [(idx, dense, labels)] * 80)
+    assert losses[-1] < losses[0] * 0.7, losses[::20]
+    scores = np.asarray(jax.jit(model.forward)(params, jnp.asarray(idx), jnp.asarray(dense)))
+    acc = np.mean((scores > 0) == (labels > 0.5))
+    assert acc > 0.8, acc
