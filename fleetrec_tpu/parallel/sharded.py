@@ -1,25 +1,27 @@
-"""Multi-chip sharded FleetRec: GSPMD partitioning of the fused
+"""Multi-chip sharded FleetRec: explicit SPMD partitioning of the fused
 lookup->concat->MLP program.
 
 Replaces the reference's cross-device tiers — FPGA-channel table placement,
 the 100 Gbps hardware TCP link (FPGA/kernel/network_krnl), the scatter
 fan-out kernel (scatter_krnl/src/hls/scatter.cpp) and the GPU server's
-fixed-offset receive concatenation (cuda_server.c:514-587) — with shardings
-over a 2-axis Mesh and XLA-inserted ICI collectives:
+fixed-offset receive concatenation (cuda_server.c:514-587) — with a 2-axis
+Mesh and ICI collectives:
 
-  * embedding buffers: row-sharded over "model" (each chip owns a
-    contiguous block of every dim-group's physical rows — the analog of
-    tables-per-channel / tables-per-FPGA placement);
-  * gather: indices replicated over "model"; XLA partitions the gather so
-    each chip looks up rows it owns and combines partial rows (the analog
-    of each FPGA producing its slice of the feature vector);
-  * W1 row-sharded over "model": the feature->hidden1 matmul consumes the
-    feature vector where it was produced and exchanges only [B, H1]
-    partial sums (psum over ICI) — strictly less traffic than the
-    reference's ship-the-whole-feature-vector design whenever
-    H1 < feature_dim (model-3: 2048 < 3968);
-  * batch: sharded over "data" (the analog of the 16 independent
-    server threads, cuda_server.c:55).
+  "data"  — batch replicas (the reference's 16 server threads);
+  "model" — table shards (the reference's channels/FPGAs).
+
+The serving forward is written with shard_map for explicit collective
+placement: each model-shard owns a row-range of the unified take buffer,
+gathers ONLY rows it owns (clip+mask), extracts sub-rows locally, and the
+exchange is ONE psum of the extracted [B, feature] vector.  Letting GSPMD
+partition the same program placed the all-reduce on the un-extracted
+gathered rows ([B*n_take, 128] — 11-16x more ICI bytes; measured via HLO
+inspection, see docs/DESIGN.md), which is why the collective is placed by
+hand.  The one-hot (small-table) path and the dense tail are computed
+replicated and contributed by shard 0 only, so the psum stays correct.
+
+Training keeps the GSPMD path (autodiff-friendly; throughput of the
+backward is not the serving-critical path).
 """
 
 from __future__ import annotations
@@ -32,11 +34,13 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..models.embedding import LANES, lookup_concat
 from ..models.fleetrec import FleetRecModel
+from ..models.mlp import mlp_apply
 
 
 class ShardedFleetRec:
-    """Wrap a FleetRecModel with mesh shardings and a pjit'ed step."""
+    """Wrap a FleetRecModel with mesh shardings and compiled SPMD steps."""
 
     def __init__(self, model: FleetRecModel, mesh: Mesh):
         self.model = model
@@ -51,39 +55,21 @@ class ShardedFleetRec:
         mesh = self.mesh
         repl = NamedSharding(mesh, P())
         rowshard = NamedSharding(mesh, P("model", None))
-        m = self.n_model
         pt = params["tables"]
-        # one-hot class buffers [n, rows_pad, dim]: shard over tables when
-        # divisible (table-wise model parallelism), else replicate — they
-        # are small (the reference's PLRAM/URAM class).
-        oh = [
-            NamedSharding(mesh, P("model", None, None)) if b.shape[0] % m == 0 else repl
-            for b in pt.onehot_buffers
-        ]
+        # one-hot class buffers are small (the PLRAM/URAM class): replicate
+        # so every shard can compute that path locally (shard 0 contributes).
+        oh = [repl for _ in pt.onehot_buffers]
         leaves = oh + ([rowshard] if pt.take_buffer is not None else [])
-        tables = jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(pt), leaves
-        )
-        mlp = []
-        for i, w in enumerate(params["mlp"]):
-            if i == 0 and w.shape[0] % m == 0:
-                # W1 rows are feature positions: shard where features live.
-                # (Indivisible feature widths fall back to replicated W1 —
-                # XLA then all-gathers the sharded gather output instead.)
-                mlp.append(rowshard)
-            else:
-                mlp.append(repl)
+        tables = jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(pt), leaves)
+        mlp = [repl for _ in params["mlp"]]
         return {"tables": tables, "mlp": mlp}
 
     def data_shardings(self):
-        mesh = self.mesh
-        batch = NamedSharding(mesh, P("data", None))
-        return batch
+        return NamedSharding(self.mesh, P("data", None))
 
     def shard_params(self, params):
-        """Pad each dim-group buffer to a row-count divisible by the model
-        axis (pad rows are never indexed — logical row ids are bounded by
-        table rows), then place params per param_shardings."""
+        """Pad the take buffer to a row-count divisible by the model axis
+        (pad rows are never indexed), then place params."""
         m = self.n_model
         tables = params["tables"]
         take = tables.take_buffer
@@ -102,30 +88,127 @@ class ShardedFleetRec:
             dense = jax.device_put(dense, s)
         return indices, dense
 
-    # ---- compiled steps -------------------------------------------------
+    # ---- the SPMD forward ----------------------------------------------
+    def _local_forward(self, params, indices, dense):
+        """Per-device function under shard_map.
+
+        indices: local batch rows [B_loc, T] in config order; take buffer
+        local row-range; onehot buffers + mlp replicated."""
+        model = self.model
+        layout = model.layout
+        midx = jax.lax.axis_index("model")
+        B = indices.shape[0]
+
+        if model.index_perm:
+            indices = indices[:, jnp.asarray(model.index_perm, dtype=jnp.int32)]
+
+        parts = []
+        k = 0
+        from ..models.embedding import _onehot_lookup
+
+        for c, buf in zip(layout.onehot_classes, params["tables"].onehot_buffers):
+            gi = jax.lax.slice_in_dim(indices, k, k + c.num_tables, axis=1)
+            parts.append(_onehot_lookup(buf, c, gi))
+            k += c.num_tables
+
+        if layout.take_groups:
+            n_take = layout.n_take
+            tidx = jax.lax.slice_in_dim(indices, k, k + n_take, axis=1)
+            bases, ss = [], []
+            for g in layout.take_groups:
+                bases.extend(g.base_phys)
+                ss.extend([g.rows_per_phys] * g.num_tables)
+            base = jnp.asarray(bases, dtype=jnp.int32)
+            s_arr = jnp.asarray(ss, dtype=jnp.int32)
+            phys = base[None, :] + (tidx // s_arr[None, :]).astype(jnp.int32)
+            sub = (tidx % s_arr[None, :]).astype(jnp.int32)
+
+            take_local = params["tables"].take_buffer  # [rows_local, lanes]
+            rows_local = take_local.shape[0]
+            start = midx * rows_local
+            phys_local = phys - start
+            valid = (phys_local >= 0) & (phys_local < rows_local)
+            safe = jnp.clip(phys_local, 0, rows_local - 1)
+            rows = jnp.take(take_local, safe.reshape(-1), axis=0, mode="clip")
+            rows = rows.reshape(B, n_take, layout.take_lanes)
+            rows = jnp.where(valid[:, :, None], rows, 0.0)
+            kk = 0
+            for g in layout.take_groups:
+                ng, s, d = g.num_tables, g.rows_per_phys, g.dim
+                r = jax.lax.slice_in_dim(rows, kk, kk + ng, axis=1).reshape(B, ng, s, d)
+                sb = jax.lax.slice_in_dim(sub, kk, kk + ng, axis=1)
+                iota = jax.lax.broadcasted_iota(jnp.int32, (s,), 0)
+                mask = (sb[..., None] == iota).astype(r.dtype)
+                parts.append(jnp.einsum("bnsd,bns->bnd", r, mask).reshape(B, ng * d))
+                kk += ng
+
+        emb = jnp.concatenate(parts, axis=1) if parts else jnp.zeros((B, 0))
+        # shard 0 contributes the replicated parts (one-hot outs + dense);
+        # others contribute zeros so the feature psum is exact.
+        n_oh_cols = sum(c.num_tables * c.dim for c in layout.onehot_classes)
+        if n_oh_cols:
+            zero_first = jnp.where(midx == 0, 1.0, 0.0).astype(emb.dtype)
+            emb = emb.at[:, :n_oh_cols].multiply(zero_first)
+
+        srcs = [emb]
+        if layout.dense_dim:
+            d = dense.astype(emb.dtype)
+            d = d * jnp.where(midx == 0, 1.0, 0.0).astype(emb.dtype)
+            srcs.append(d)
+        srcs.append(jnp.zeros((B, 1), dtype=emb.dtype))
+        src = jnp.concatenate(srcs, axis=1)
+        perm = jnp.asarray(layout.feature_perm, dtype=jnp.int32)
+        feats = jnp.take(src, perm, axis=1)
+        # THE exchange: one psum of the extracted [B, F] feature vector.
+        feats = jax.lax.psum(feats, "model")
+
+        dtype = jnp.dtype(model.cfg.dtype)
+        scores = mlp_apply(params["mlp"], feats.astype(dtype),
+                           activation=model.cfg.mlp.activation)
+        return scores[:, 0]
+
     @cached_property
     def forward(self):
-        model = self.model
         mesh = self.mesh
-        batch = NamedSharding(mesh, P("data", None))
-        out_s = NamedSharding(mesh, P("data"))
+
+        # Build in_specs as a pytree matching (params, indices, dense).
+        def make_specs(params_like):
+            pt = params_like["tables"]
+            oh = [P(None, None, None) for _ in pt.onehot_buffers]
+            leaves = oh + ([P("model", None)] if pt.take_buffer is not None else [])
+            tables = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(pt), leaves
+            )
+            mlp = [P(None, None) for _ in params_like["mlp"]]
+            return {"tables": tables, "mlp": mlp}
+
+        local = self._local_forward
 
         def fwd(params, indices, dense):
-            # Keep the batch on "data"; let GSPMD partition the gather over
-            # the row-sharded tables and psum the W1 matmul over "model".
-            indices = jax.lax.with_sharding_constraint(indices, batch)
-            scores = model.forward(params, indices, dense)
-            return jax.lax.with_sharding_constraint(scores, out_s)
+            specs = make_specs(params)
+            in_specs = (specs, P("data", None), P("data", None) if dense is not None else None)
+            if dense is None:
+                f = jax.shard_map(
+                    lambda p, i: local(p, i, None),
+                    mesh=mesh, in_specs=in_specs[:2], out_specs=P("data"),
+                    check_vma=False,
+                )
+                return f(params, indices)
+            f = jax.shard_map(
+                local, mesh=mesh, in_specs=in_specs, out_specs=P("data"),
+                check_vma=False,
+            )
+            return f(params, indices, dense)
 
-        return jax.jit(fwd, out_shardings=out_s)
+        return jax.jit(fwd, static_argnames=())
 
+    # ---- training (GSPMD path: autodiff-friendly) -----------------------
     @cached_property
     def train_step(self):
         """One SGD step on logistic loss — exercises the full backward
         (gather -> scatter-add grads on sharded tables, psum'd MLP grads).
-        The reference has no training; this exists so the serving engine's
-        tables/weights can be fine-tuned in place and to validate the
-        sharding layout end-to-end (grads inherit param shardings)."""
+        Uses GSPMD partitioning of the plain forward (grads inherit param
+        shardings); serving throughput is not gated on this path."""
         model = self.model
         mesh = self.mesh
         batch = NamedSharding(mesh, P("data", None))
