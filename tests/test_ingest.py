@@ -200,3 +200,19 @@ def test_sender_reconnect_resumes_batch():
             slot, view, *_ = r
             np.testing.assert_array_equal(view, np.full(B * F, 2.0, np.float32))
             ing.release(slot)
+
+
+def test_servebench_cpu_smoke():
+    """servebench closed loop on CPU: low offered load must be achieved and
+    produce sane latency percentiles."""
+    import fleetrec_tpu as fr
+    from fleetrec_tpu.models import init_model
+    from fleetrec_tpu.serving.servebench import run_servebench
+
+    cfg = fr.get_config("micro_test", batch_size=32)
+    model, params = init_model(cfg)
+    r = run_servebench(model, params, batch_size=32, offered_qps=1000,
+                       duration_s=1.0, max_wait_ms=2.0)
+    assert r.n_queries > 500
+    assert 0.5 * r.offered_qps < r.achieved_qps < 2 * r.offered_qps
+    assert 0 < r.latency_ms_p50 <= r.latency_ms_p99 <= r.latency_ms_max
