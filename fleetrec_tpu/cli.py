@@ -31,7 +31,11 @@ def _build(args, reduce_rows=None):
             cfg, tables=tuple(dataclasses.replace(t, rows=min(t.rows, cap)) for t in cfg.tables)
         )
     if args.dtype:
-        cfg = dataclasses.replace(cfg, dtype=args.dtype, table_dtype=args.dtype)
+        if args.dtype == "int8":
+            # int8 quantizes table storage only; the MLP stays fp32
+            cfg = dataclasses.replace(cfg, table_dtype="int8")
+        else:
+            cfg = dataclasses.replace(cfg, dtype=args.dtype, table_dtype=args.dtype)
     tables = ref.init_tables(cfg, scheme=args.table_scheme)
     model, params = init_model(cfg, tables_np=tables, mlp_scheme=args.mlp_scheme)
     return cfg, model, params, tables

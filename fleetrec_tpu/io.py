@@ -26,6 +26,11 @@ def save_npz(path: str, params) -> None:
         arrs[f"onehot_{i}"] = np.asarray(b)
     if tables.take_buffer is not None:
         arrs["take"] = np.asarray(tables.take_buffer)
+    if tables.onehot_scales is not None:
+        for i, sc in enumerate(tables.onehot_scales):
+            arrs[f"onehot_scale_{i}"] = np.asarray(sc)
+        if tables.take_scales is not None:
+            arrs["take_scales"] = np.asarray(tables.take_scales)
     for i, w in enumerate(params["mlp"]):
         arrs[f"mlp_{i}"] = np.asarray(w)
     np.savez(path, **arrs)
@@ -43,10 +48,16 @@ def load_npz(path: str, model) -> dict:
     onehot = [jnp.asarray(data[f"onehot_{i}"], dtype=dtype)
               for i in range(len(layout.onehot_classes))]
     take = jnp.asarray(data["take"], dtype=dtype) if "take" in data else None
+    oh_scales = take_scales = None
+    if "onehot_scale_0" in data or "take_scales" in data:
+        oh_scales = [jnp.asarray(data[f"onehot_scale_{i}"])
+                     for i in range(len(layout.onehot_classes))]
+        take_scales = jnp.asarray(data["take_scales"]) if "take_scales" in data else None
     n_mlp = len(model.cfg.mlp.widths) - 1
     mlp = [jnp.asarray(data[f"mlp_{i}"], dtype=jnp.dtype(model.cfg.dtype))
            for i in range(n_mlp)]
-    tables = PackedTables(layout=layout, onehot_buffers=onehot, take_buffer=take)
+    tables = PackedTables(layout=layout, onehot_buffers=onehot, take_buffer=take,
+                          onehot_scales=oh_scales, take_scales=take_scales)
     return {"tables": tables, "mlp": mlp}
 
 

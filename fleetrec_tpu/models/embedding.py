@@ -202,29 +202,56 @@ def build_layout(
 @dataclasses.dataclass
 class PackedTables:
     """Device-resident storage: one stacked buffer per one-hot class plus
-    the unified take buffer (pytree)."""
+    the unified take buffer (pytree).  For int8-quantized tables the
+    per-table power-of-two dequant scales ride along (power-of-two so the
+    reference's ±1 parity data dequantizes bit-exactly: ±64 * 2^-6)."""
 
     layout: PackedLayout
     onehot_buffers: List[jax.Array]  # parallel to layout.onehot_classes
-    take_buffer: Optional[jax.Array]  # [phys_total, 128] or None
+    take_buffer: Optional[jax.Array]  # [phys_total, lanes] or None
+    onehot_scales: Optional[List[jax.Array]] = None  # [n,1,1] f32 per class
+    take_scales: Optional[jax.Array] = None  # [n_take] f32 per column
 
     def tree_flatten(self):
         leaves = list(self.onehot_buffers)
         if self.take_buffer is not None:
             leaves.append(self.take_buffer)
-        return leaves, (self.layout, self.take_buffer is not None)
+        quant = self.onehot_scales is not None
+        if quant:
+            leaves.extend(self.onehot_scales)
+            if self.take_scales is not None:
+                leaves.append(self.take_scales)
+        return leaves, (self.layout, self.take_buffer is not None, quant)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        layout, has_take = aux
+        layout, has_take, quant = aux
         leaves = list(leaves)
-        take = leaves.pop() if has_take else None
-        return cls(layout=layout, onehot_buffers=leaves, take_buffer=take)
+        n_oh = len(layout.onehot_classes)
+        bufs = leaves[:n_oh]
+        rest = leaves[n_oh:]
+        take = rest.pop(0) if has_take else None
+        oh_scales = take_scales = None
+        if quant:
+            oh_scales = rest[:n_oh]
+            rest = rest[n_oh:]
+            take_scales = rest.pop(0) if has_take else None
+        return cls(layout=layout, onehot_buffers=bufs, take_buffer=take,
+                   onehot_scales=oh_scales, take_scales=take_scales)
 
 
 jax.tree_util.register_pytree_node(
     PackedTables, PackedTables.tree_flatten, PackedTables.tree_unflatten
 )
+
+
+def _pow2_scale(arr: np.ndarray) -> float:
+    """Smallest power-of-two scale with arr/scale in [-127, 127]."""
+    amax = float(np.max(np.abs(arr))) if arr.size else 0.0
+    if amax == 0.0:
+        return 1.0
+    e = int(np.ceil(np.log2(amax / 127.0)))
+    return float(2.0 ** e)
 
 
 def pack_tables(
@@ -233,10 +260,21 @@ def pack_tables(
     layout: PackedLayout,
     dtype=jnp.float32,
 ) -> PackedTables:
-    """Pack per-table [rows, dim] numpy arrays into the two-path layout."""
+    """Pack per-table [rows, dim] numpy arrays into the two-path layout.
+
+    dtype int8 enables quantized storage: per-table power-of-two scales,
+    int8 buffers (4x memory vs fp32), dequant fused after lookup."""
     by_id = {s.table_id: (s, np.asarray(a)) for s, a in zip(specs, tables_np)}
+    quant = jnp.dtype(dtype) == jnp.int8
+    if quant:
+        scales = {tid: _pow2_scale(a) for tid, (_sp, a) in by_id.items()}
+        by_id = {
+            tid: (sp, np.clip(np.rint(a / scales[tid]), -127, 127).astype(np.float32))
+            for tid, (sp, a) in by_id.items()
+        }
 
     onehot_buffers = []
+    onehot_scales = [] if quant else None
     for c in layout.onehot_classes:
         buf = np.zeros((c.num_tables, c.rows_pad, c.dim), dtype=np.float32)
         for j, tid in enumerate(c.table_ids):
@@ -244,6 +282,9 @@ def pack_tables(
             assert arr.shape == (spec.rows, spec.dim), (tid, arr.shape)
             buf[j, : spec.rows] = arr
         onehot_buffers.append(jnp.asarray(buf, dtype=dtype))
+        if quant:
+            sc = np.asarray([scales[tid] for tid in c.table_ids], np.float32)
+            onehot_scales.append(jnp.asarray(sc[:, None, None]))
 
     take = None
     if layout.take_phys_total:
@@ -258,19 +299,37 @@ def pack_tables(
                 p[: spec.rows] = arr
                 buf[base : base + phys_rows] = p.reshape(phys_rows, g.lanes)
         take = jnp.asarray(buf, dtype=dtype)
-    return PackedTables(layout=layout, onehot_buffers=onehot_buffers, take_buffer=take)
+    take_scales = None
+    if quant and layout.take_groups:
+        sc = []
+        for g in layout.take_groups:
+            sc.extend(scales[tid] for tid in g.table_ids)
+        take_scales = jnp.asarray(np.asarray(sc, np.float32))
+    return PackedTables(
+        layout=layout, onehot_buffers=onehot_buffers, take_buffer=take,
+        onehot_scales=onehot_scales if quant else None, take_scales=take_scales,
+    )
 
 
-def _onehot_lookup(buf: jax.Array, c: OneHotClass, idx: jax.Array) -> jax.Array:
-    """idx: [B, n] -> [B, n*d].  Exact: one nonzero per reduction row."""
+def _onehot_lookup(
+    buf: jax.Array, c: OneHotClass, idx: jax.Array,
+    scale: Optional[jax.Array] = None,
+) -> jax.Array:
+    """idx: [B, n] -> [B, n*d].  Exact: one nonzero per reduction row.
+    int8 buffers accumulate in int32 (exact) and dequant by the per-table
+    power-of-two scale."""
     B, n = idx.shape
+    quant = buf.dtype == jnp.int8
     iota = jax.lax.broadcasted_iota(jnp.int32, (c.rows_pad,), 0)
     oh = (idx[..., None] == iota).astype(buf.dtype)  # [B, n, R]
     out = jax.lax.dot_general(
         oh, buf,
         dimension_numbers=(((2,), (1,)), ((1,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.int32 if quant else jnp.float32,
     )  # [n, B, d]
+    if quant:
+        out = out.astype(jnp.float32) * scale  # scale: [n,1,1]
+        return out.transpose(1, 0, 2).reshape(B, n * c.dim)
     return out.transpose(1, 0, 2).reshape(B, n * c.dim).astype(buf.dtype)
 
 
@@ -294,11 +353,13 @@ def lookup_concat(
     """
     layout = packed.layout
     B = indices.shape[0]
+    quant = packed.onehot_scales is not None
     parts = []
     k = 0
-    for c, buf in zip(layout.onehot_classes, packed.onehot_buffers):
+    for i, (c, buf) in enumerate(zip(layout.onehot_classes, packed.onehot_buffers)):
         gi = jax.lax.slice_in_dim(indices, k, k + c.num_tables, axis=1)
-        parts.append(_onehot_lookup(buf, c, gi))
+        sc = packed.onehot_scales[i] if quant else None
+        parts.append(_onehot_lookup(buf, c, gi, sc))
         k += c.num_tables
 
     if layout.take_groups:
@@ -315,15 +376,24 @@ def lookup_concat(
         sub = (tidx % s_arr[None, :]).astype(jnp.int32)
         rows = jnp.take(packed.take_buffer, phys.reshape(-1), axis=0)
         rows = rows.reshape(B, n_take, layout.take_lanes)
-        # per-group sub-row extraction via mask-einsum (exact)
+        tq = packed.take_buffer.dtype == jnp.int8
+        # per-group sub-row extraction via mask-einsum (exact; int8 rows
+        # extract in int32 then dequant per column)
         kk = 0
         for g in layout.take_groups:
             ng, s, d = g.num_tables, g.rows_per_phys, g.dim
             r = jax.lax.slice_in_dim(rows, kk, kk + ng, axis=1).reshape(B, ng, s, d)
             sb = jax.lax.slice_in_dim(sub, kk, kk + ng, axis=1)
             iota = jax.lax.broadcasted_iota(jnp.int32, (s,), 0)
-            m = (sb[..., None] == iota).astype(r.dtype)  # [B, ng, s]
-            parts.append(jnp.einsum("bnsd,bns->bnd", r, m).reshape(B, ng * d))
+            if tq:
+                m = (sb[..., None] == iota).astype(jnp.int32)
+                e = jnp.einsum("bnsd,bns->bnd", r.astype(jnp.int32), m)
+                sc = jax.lax.slice_in_dim(packed.take_scales, kk, kk + ng)
+                e = e.astype(jnp.float32) * sc[None, :, None]
+            else:
+                m = (sb[..., None] == iota).astype(r.dtype)
+                e = jnp.einsum("bnsd,bns->bnd", r, m)
+            parts.append(e.reshape(B, ng * d))
             kk += ng
 
     emb = jnp.concatenate(parts, axis=1) if parts else jnp.zeros((B, 0))

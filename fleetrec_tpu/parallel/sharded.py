@@ -106,9 +106,11 @@ class ShardedFleetRec:
         k = 0
         from ..models.embedding import _onehot_lookup
 
-        for c, buf in zip(layout.onehot_classes, params["tables"].onehot_buffers):
+        pt = params["tables"]
+        quant = pt.onehot_scales is not None
+        for i, (c, buf) in enumerate(zip(layout.onehot_classes, pt.onehot_buffers)):
             gi = jax.lax.slice_in_dim(indices, k, k + c.num_tables, axis=1)
-            parts.append(_onehot_lookup(buf, c, gi))
+            parts.append(_onehot_lookup(buf, c, gi, pt.onehot_scales[i] if quant else None))
             k += c.num_tables
 
         if layout.take_groups:
@@ -131,15 +133,23 @@ class ShardedFleetRec:
             safe = jnp.clip(phys_local, 0, rows_local - 1)
             rows = jnp.take(take_local, safe.reshape(-1), axis=0, mode="clip")
             rows = rows.reshape(B, n_take, layout.take_lanes)
-            rows = jnp.where(valid[:, :, None], rows, 0.0)
+            tq = take_local.dtype == jnp.int8
+            rows = jnp.where(valid[:, :, None], rows, jnp.zeros((), rows.dtype))
             kk = 0
             for g in layout.take_groups:
                 ng, s, d = g.num_tables, g.rows_per_phys, g.dim
                 r = jax.lax.slice_in_dim(rows, kk, kk + ng, axis=1).reshape(B, ng, s, d)
                 sb = jax.lax.slice_in_dim(sub, kk, kk + ng, axis=1)
                 iota = jax.lax.broadcasted_iota(jnp.int32, (s,), 0)
-                mask = (sb[..., None] == iota).astype(r.dtype)
-                parts.append(jnp.einsum("bnsd,bns->bnd", r, mask).reshape(B, ng * d))
+                if tq:
+                    mask = (sb[..., None] == iota).astype(jnp.int32)
+                    e = jnp.einsum("bnsd,bns->bnd", r.astype(jnp.int32), mask)
+                    sc = jax.lax.slice_in_dim(pt.take_scales, kk, kk + ng)
+                    e = e.astype(jnp.float32) * sc[None, :, None]
+                else:
+                    mask = (sb[..., None] == iota).astype(r.dtype)
+                    e = jnp.einsum("bnsd,bns->bnd", r, mask)
+                parts.append(e.reshape(B, ng * d))
                 kk += ng
 
         emb = jnp.concatenate(parts, axis=1) if parts else jnp.zeros((B, 0))
@@ -176,6 +186,10 @@ class ShardedFleetRec:
             pt = params_like["tables"]
             oh = [P(None, None, None) for _ in pt.onehot_buffers]
             leaves = oh + ([P("model", None)] if pt.take_buffer is not None else [])
+            if pt.onehot_scales is not None:
+                leaves += [P(None, None, None) for _ in pt.onehot_scales]
+                if pt.take_scales is not None:
+                    leaves.append(P(None))
             tables = jax.tree_util.tree_unflatten(
                 jax.tree_util.tree_structure(pt), leaves
             )

@@ -137,3 +137,46 @@ def test_take_lanes_64_gather_exact():
             lookup_concat(packed, jnp.asarray(gi), jnp.asarray(dense))
         )
         np.testing.assert_array_equal(feats, golden)
+
+
+def test_int8_quantized_parity_pm1():
+    """int8 tables with power-of-two scales: ±1 parity data dequantizes
+    bit-exactly, so scores equal the fp32 oracle exactly."""
+    import dataclasses
+
+    cfg = C.micro_test(batch_size=32)
+    # bump two tables above the one-hot threshold so BOTH paths quantize
+    bumped = tuple(
+        dataclasses.replace(t, rows=5000) if t.table_id in (2, 6) else t
+        for t in cfg.tables
+    )
+    cfg = dataclasses.replace(cfg, tables=bumped, table_dtype="int8")
+    tables = ref.init_tables(cfg, scheme="pm1")
+    model, params = init_model(cfg, tables_np=tables, mlp_scheme="ones")
+    assert params["tables"].take_buffer.dtype == jnp.int8
+    assert params["tables"].onehot_buffers[0].dtype == jnp.int8
+    idx = rand_indices(cfg, 32)
+    dense = np.ones((32, cfg.dense_dim), np.float32)
+    scores = np.asarray(jax.jit(model.forward)(params, jnp.asarray(idx), jnp.asarray(dense)))
+    golden = ref.forward(cfg, tables, ref.init_mlp_weights(cfg, "ones"), idx, dense)
+    np.testing.assert_array_equal(scores, golden.astype(np.float32))
+
+
+def test_int8_quantized_error_bound():
+    """Uniform tables: int8 dequant error bounded by scale/2 per element."""
+    import dataclasses
+
+    cfg = C.micro_test(batch_size=16)
+    cfg8 = dataclasses.replace(cfg, table_dtype="int8")
+    tables = ref.init_tables(cfg, scheme="uniform")
+    ws = ref.init_mlp_weights(cfg, scheme="uniform")
+    m32, p32 = init_model(cfg, tables_np=tables, mlp_np=ws)
+    m8, p8 = init_model(cfg8, tables_np=tables, mlp_np=ws)
+    idx = rand_indices(cfg, 16)
+    dense = rand_dense(cfg, 16)
+    s32 = np.asarray(jax.jit(m32.forward)(p32, jnp.asarray(idx), jnp.asarray(dense)))
+    s8 = np.asarray(jax.jit(m8.forward)(p8, jnp.asarray(idx), jnp.asarray(dense)))
+    # values in [-1,1] -> scale 2^-6 -> elementwise err <= 2^-7; through the
+    # micro MLP the score error stays small
+    np.testing.assert_allclose(s8, s32, atol=0.3)
+    assert np.mean(np.abs(s8 - s32)) < 0.05
