@@ -30,6 +30,8 @@ def _build(args, reduce_rows=None):
         cfg = dataclasses.replace(
             cfg, tables=tuple(dataclasses.replace(t, rows=min(t.rows, cap)) for t in cfg.tables)
         )
+    if getattr(args, "take_lanes", 0):
+        cfg = dataclasses.replace(cfg, take_lanes=args.take_lanes)
     if args.dtype:
         if args.dtype == "int8":
             # int8 quantizes table storage only; the MLP stays fp32
@@ -229,6 +231,8 @@ def main(argv=None):
     common.add_argument("--dtype", default="",
                         help="override compute dtype (float32|bfloat16)")
     common.add_argument("--table-scheme", default="pm1")
+    common.add_argument("--take-lanes", type=int, default=0,
+                        help="take-buffer row width in lanes (multiple of 128)")
     common.add_argument("--mlp-scheme", default="ones")
 
     s = sub.add_parser("serve", parents=[common])

@@ -106,6 +106,13 @@ class ModelConfig:
     # Parity mode: fp32 + fixed layouts for bit-exact golden comparison.
     dtype: str = "float32"  # compute dtype of the MLP chain
     table_dtype: str = "float32"
+    # Width of a packed take-buffer row in lanes (multiple of 128). Wider
+    # rows fold several 128-lane physical rows into one gather index: the
+    # gather costs ~13 ns per INDEX, so folding cuts the index count at the
+    # price of fetching more bytes per lookup (we are issue-bound, not
+    # bandwidth-bound). Must be a multiple of 128; sub-128 widths measured
+    # slower end-to-end (vector relayouts).
+    take_lanes: int = 128
 
     @property
     def num_tables(self) -> int:

@@ -44,8 +44,12 @@ class FleetRecModel:
         # NOTE: an isolated [R,64] bf16 take measures 6 ns/row (2x faster
         # than 128-lane), but end-to-end the 64-lane layout is several times
         # SLOWER — sub-128-lane intermediates force vector relayouts in the
-        # extraction/concat chain.  Keep 128-lane packing for all dtypes.
-        layout = build_layout(cfg.tables, cfg.feature_dim, cfg.dense_dim)
+        # extraction/concat chain.  Multiples of 128 are safe; wider rows
+        # fold several physical rows per gather index (cfg.take_lanes).
+        layout = build_layout(
+            cfg.tables, cfg.feature_dim, cfg.dense_dim,
+            take_lanes=cfg.take_lanes,
+        )
         perm = tuple(int(p) for p in index_columns(layout, [t.table_id for t in cfg.tables]))
         return cls(cfg=cfg, layout=layout, index_perm=perm)
 

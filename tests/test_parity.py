@@ -128,7 +128,7 @@ def test_take_lanes_64_gather_exact():
     tables = ref.init_tables(cfg, scheme="rowid")
     idx, dense = rand_indices(cfg, 24), rand_dense(cfg, 24)
     golden = ref.gather_concat(cfg, tables, idx, dense)
-    for lanes in (64, 128):
+    for lanes in (64, 128, 256, 512):
         layout = build_layout(cfg.tables, cfg.feature_dim, cfg.dense_dim,
                               take_lanes=lanes)
         packed = pack_tables(tables, cfg.tables, layout)
