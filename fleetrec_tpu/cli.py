@@ -61,7 +61,10 @@ def cmd_serve(args):
                       port_base=args.port) as ing:
         print(f"serving {cfg.name} B={B} on port {args.port} "
               f"({idx_bytes + dense_bytes} B/batch)", flush=True)
-        summary = eng.run_from_ingest(ing, args.batches, mode="index")
+        summary = eng.run_from_ingest(
+            ing, args.batches, mode="index",
+            row_limits=[t.rows for t in cfg.tables],
+        )
         print(json.dumps(summary))
 
 
@@ -79,10 +82,18 @@ def cmd_loadgen(args):
         )
     B = args.batch
     rng = np.random.default_rng(args.seed)
+
+    def draw(rows):
+        if args.dist == "zipf":
+            # bounded Zipf(1.1) — hot-item skew typical of production traffic
+            z = rng.zipf(1.1, size=B)
+            return np.minimum(z - 1, rows - 1).astype(np.int64)
+        return rng.integers(0, rows, B)
+
     sock = socket.create_connection((args.ip, args.port), timeout=30)
     t0 = time.time()
     for b in range(args.batches):
-        idx = np.stack([rng.integers(0, t.rows, B) for t in cfg.tables], 1).astype(np.int32)
+        idx = np.stack([draw(t.rows) for t in cfg.tables], 1).astype(np.int32)
         payload = idx.tobytes()
         if cfg.dense_dim:
             payload += rng.uniform(-1, 1, (B, cfg.dense_dim)).astype(np.float32).tobytes()
@@ -246,6 +257,7 @@ def main(argv=None):
     s.add_argument("--port", type=int, default=7080)
     s.add_argument("--batches", type=int, default=100)
     s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--dist", default="uniform", choices=["uniform", "zipf"])
     s.set_defaults(fn=cmd_loadgen)
 
     s = sub.add_parser("bench", parents=[common])

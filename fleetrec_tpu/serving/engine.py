@@ -60,12 +60,17 @@ class LatencyStats:
         if not self.records:
             return {"batches": 0}
         lat = self._lat_ms()
-        return {
+        out = {
             "batches": len(self.records),
             "latency_ms_p50": float(np.percentile(lat, 50)),
             "latency_ms_p99": float(np.percentile(lat, 99)),
             "latency_ms_mean": float(lat.mean()),
         }
+        if len(self.records) > 1:
+            span = self.records[-1].t_done - self.records[0].t_submit
+            if span > 0:
+                out["batches_per_sec"] = len(self.records) / span
+        return out
 
 
 class ServingEngine:
@@ -185,7 +190,8 @@ class ServingEngine:
     def run_from_ingest(self, ingest, n_batches: int, mode: str = "feature",
                         feature_dim: Optional[int] = None,
                         on_done: Optional[Callable] = None,
-                        timeout_ms: int = 20_000) -> dict:
+                        timeout_ms: int = 20_000,
+                        row_limits: Optional[Sequence[int]] = None) -> dict:
         """Consume n_batches from an IngestServer and score them.
 
         feature mode: slot floats are [B, feature_dim].
@@ -206,6 +212,10 @@ class ServingEngine:
             else:
                 n_idx = B * self.num_tables
                 idx = view[:n_idx].view(np.int32).reshape(B, self.num_tables).copy()
+                if row_limits is not None:
+                    # reject bad row ids at the wire (otherwise they surface
+                    # as NaN scores, models/fleetrec.py docstring)
+                    self.validate_indices(idx, row_limits)
                 dense = (
                     view[n_idx : n_idx + B * self.dense_dim]
                     .reshape(B, self.dense_dim)
