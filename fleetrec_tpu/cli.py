@@ -53,7 +53,8 @@ def cmd_serve(args):
     from .serving import IngestServer, ServingEngine
 
     cfg, model, params, _ = _build(args)
-    eng = ServingEngine.from_model(model, params, batch_size=args.batch)
+    eng = ServingEngine.from_model(model, params, batch_size=args.batch,
+                                   background_drain=args.bg_drain)
     B = args.batch
     idx_bytes = B * cfg.num_tables * 4
     dense_bytes = B * cfg.dense_dim * 4
@@ -65,6 +66,7 @@ def cmd_serve(args):
             ing, args.batches, mode="index",
             row_limits=[t.rows for t in cfg.tables],
         )
+        eng.close()
         print(json.dumps(summary))
 
 
@@ -250,6 +252,9 @@ def main(argv=None):
     s.add_argument("--port", type=int, default=7080)
     s.add_argument("--slots", type=int, default=8)
     s.add_argument("--batches", type=int, default=100)
+    s.add_argument("--bg-drain", action="store_true",
+                   help="readbacks on a background thread (overlaps the next "
+                   "batch's ingest copy with the previous readback)")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("loadgen", parents=[common])

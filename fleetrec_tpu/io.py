@@ -11,6 +11,7 @@ Formats:
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import json
 import os
 from typing import Optional
@@ -19,9 +20,52 @@ import jax
 import numpy as np
 
 
-def save_npz(path: str, params) -> None:
+def config_fingerprint(cfg) -> str:
+    """Deterministic hash of everything that shapes the packed parameter
+    buffers (table geometry, feature layout, MLP widths, dtypes).  Stored
+    with checkpoints so a load against the wrong geometry fails fast with
+    a clear error instead of a shape mismatch (or worse, a silent
+    wrong-offset gather — the reference has no checkpointing at all and
+    re-synthesizes tables per run, host.cpp:282-718)."""
+    blob = {
+        "tables": [
+            [t.table_id, t.rows, t.dim, t.out_offset] for t in cfg.tables
+        ],
+        "mlp": list(cfg.mlp.widths),
+        "use_bias": cfg.mlp.use_bias,
+        "activation": cfg.mlp.activation,
+        "dense_dim": cfg.dense_dim,
+        "dtype": cfg.dtype,
+        "table_dtype": cfg.table_dtype,
+        "take_lanes": cfg.take_lanes,
+    }
+    data = json.dumps(blob, sort_keys=True, separators=(",", ":")).encode()
+    return hashlib.sha256(data).hexdigest()
+
+
+class ConfigMismatchError(ValueError):
+    pass
+
+
+def _check_fingerprint(stored: Optional[str], model, path: str) -> None:
+    if stored is None or model is None:
+        return
+    want = config_fingerprint(model.cfg)
+    if stored != want:
+        raise ConfigMismatchError(
+            f"checkpoint {path} was saved for a different model geometry "
+            f"(stored fingerprint {stored[:12]}…, current config "
+            f"'{model.cfg.name}' is {want[:12]}…)"
+        )
+
+
+def save_npz(path: str, params, cfg=None) -> None:
     tables = params["tables"]
     arrs = {}
+    if cfg is not None:
+        arrs["config_fingerprint"] = np.frombuffer(
+            config_fingerprint(cfg).encode(), dtype=np.uint8
+        )
     for i, b in enumerate(tables.onehot_buffers):
         arrs[f"onehot_{i}"] = np.asarray(b)
     if tables.take_buffer is not None:
@@ -43,6 +87,8 @@ def load_npz(path: str, model) -> dict:
     from .models.embedding import PackedTables
 
     data = np.load(path)
+    if "config_fingerprint" in data:
+        _check_fingerprint(bytes(data["config_fingerprint"]).decode(), model, path)
     layout = model.layout
     dtype = jnp.dtype(model.cfg.table_dtype)
     onehot = [jnp.asarray(data[f"onehot_{i}"], dtype=dtype)
@@ -61,7 +107,7 @@ def load_npz(path: str, model) -> dict:
     return {"tables": tables, "mlp": mlp}
 
 
-def save_orbax(path: str, params) -> None:
+def save_orbax(path: str, params, cfg=None) -> None:
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
@@ -71,8 +117,12 @@ def save_orbax(path: str, params) -> None:
         "take": tables.take_buffer,
         "mlp": list(params["mlp"]),
     }
-    ckptr.save(os.path.abspath(path), tree)
+    path = os.path.abspath(path)
+    ckptr.save(path, tree)
     ckptr.wait_until_finished()
+    if cfg is not None:
+        with open(os.path.join(path, "fleetrec_config.json"), "w") as f:
+            json.dump({"name": cfg.name, "fingerprint": config_fingerprint(cfg)}, f)
 
 
 def load_orbax(path: str, model, like_params) -> dict:
@@ -80,6 +130,11 @@ def load_orbax(path: str, model, like_params) -> dict:
     import orbax.checkpoint as ocp
 
     from .models.embedding import PackedTables
+
+    meta_path = os.path.join(os.path.abspath(path), "fleetrec_config.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            _check_fingerprint(json.load(f)["fingerprint"], model, path)
 
     tables = like_params["tables"]
     tpl = {

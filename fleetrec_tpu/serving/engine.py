@@ -82,7 +82,8 @@ class ServingEngine:
     """
 
     def __init__(self, score_fn: Callable, num_tables: int, dense_dim: int,
-                 batch_size: int, max_in_flight: int = 2):
+                 batch_size: int, max_in_flight: int = 2,
+                 background_drain: bool = False):
         self.score_fn = score_fn
         self.num_tables = num_tables
         self.dense_dim = dense_dim
@@ -91,10 +92,24 @@ class ServingEngine:
         self.stats = LatencyStats()
         self._in_flight: "queue.Queue" = queue.Queue()
         self._batch_id = 0
+        # Background drain: a daemon thread owns the device->host readbacks
+        # so submit() overlaps the NEXT batch's host-side work (ingest copy,
+        # index validation, np->jnp staging) with the previous readback —
+        # the reference gets the same overlap from its FIFO receiver threads
+        # (measure_.../cuda_server.c:119-240). Window flow control moves to
+        # a semaphore. on_done callbacks then fire on the drain thread.
+        self._drain_thread: Optional[threading.Thread] = None
+        if background_drain:
+            self._sem = threading.Semaphore(max_in_flight)
+            self._drain_thread = threading.Thread(
+                target=self._drain_loop, daemon=True
+            )
+            self._drain_thread.start()
 
     # -- construction ----------------------------------------------------
     @classmethod
-    def from_model(cls, model, params, batch_size: int, max_in_flight: int = 2):
+    def from_model(cls, model, params, batch_size: int, max_in_flight: int = 2,
+                   background_drain: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -105,10 +120,11 @@ class ServingEngine:
             return fwd(params, jnp.asarray(indices_np), d)
 
         return cls(score, model.cfg.num_tables, model.cfg.dense_dim, batch_size,
-                   max_in_flight)
+                   max_in_flight, background_drain)
 
     @classmethod
-    def from_sharded(cls, sharded, params, batch_size: int, max_in_flight: int = 2):
+    def from_sharded(cls, sharded, params, batch_size: int, max_in_flight: int = 2,
+                     background_drain: bool = False):
         """Serve through a ShardedFleetRec on a multi-chip mesh — the analog
         of the reference's scatter tier (scatter_krnl fanning one embedding
         stream out to up to 11 scoring nodes, scatter.cpp:116-235): one
@@ -126,10 +142,11 @@ class ServingEngine:
             return sharded.forward(params, i, d)
 
         return cls(score, model.cfg.num_tables, model.cfg.dense_dim, batch_size,
-                   max_in_flight)
+                   max_in_flight, background_drain)
 
     @classmethod
-    def mlp_only(cls, model, params, batch_size: int, max_in_flight: int = 2):
+    def mlp_only(cls, model, params, batch_size: int, max_in_flight: int = 2,
+                 background_drain: bool = False):
         """Feature mode: score pre-gathered feature vectors (reference wire
         semantics — the server only runs the matmul chain)."""
         import jax
@@ -144,7 +161,7 @@ class ServingEngine:
         def score(feats_np, _dense):
             return fwd(params["mlp"], jnp.asarray(feats_np))
 
-        return cls(score, 0, 0, batch_size, max_in_flight)
+        return cls(score, 0, 0, batch_size, max_in_flight, background_drain)
 
     # -- validation (host-side guard against NaN-fill gathers) -----------
     def validate_indices(self, indices: np.ndarray, row_limits: Sequence[int]):
@@ -162,29 +179,57 @@ class ServingEngine:
     # -- dispatch --------------------------------------------------------
     def submit(self, inputs_np, dense_np=None, t_first_byte_ns: int = 0,
                t_complete_ns: int = 0, on_done: Optional[Callable] = None):
-        """Dispatch one batch; drains the window if max_in_flight exceeded."""
+        """Dispatch one batch; blocks only when the in-flight window is full
+        (synchronous mode drains inline; background mode waits on the
+        semaphore while the drain thread reads back)."""
+        if self._drain_thread is not None:
+            self._sem.acquire()
         t_submit = time.time()
         scores = self.score_fn(inputs_np, dense_np)
         rec = BatchRecord(self._batch_id, t_first_byte_ns, t_complete_ns,
                           t_submit, 0.0)
         self._batch_id += 1
         self._in_flight.put((scores, rec, on_done))
-        while self._in_flight.qsize() > self.max_in_flight:
-            self._drain_one()
+        if self._drain_thread is None:
+            while self._in_flight.qsize() > self.max_in_flight:
+                self._drain_one()
         return rec.batch_id
 
-    def _drain_one(self):
-        scores, rec, on_done = self._in_flight.get()
+    def _drain_one(self, item=None):
+        scores, rec, on_done = item if item is not None else self._in_flight.get()
         out = np.asarray(scores)  # forces completion (readback)
         rec.t_done = time.time()
         self.stats.add(rec)
         if on_done is not None:
             on_done(rec.batch_id, out)
 
+    def _drain_loop(self):
+        while True:
+            item = self._in_flight.get()
+            try:
+                if item is None:
+                    return
+                self._drain_one(item)
+                self._sem.release()
+            finally:
+                self._in_flight.task_done()
+
     def drain(self):
-        while not self._in_flight.empty():
-            self._drain_one()
+        """Wait for every in-flight batch, return the latency summary."""
+        if self._drain_thread is not None:
+            self._in_flight.join()
+        else:
+            while not self._in_flight.empty():
+                self._drain_one()
         return self.stats.summary()
+
+    def close(self):
+        """Stop the background drain thread (after draining); idempotent."""
+        if self._drain_thread is not None:
+            self._in_flight.join()
+            self._in_flight.put(None)
+            self._drain_thread.join()
+            self._drain_thread = None
 
     # -- ingest loop -----------------------------------------------------
     def run_from_ingest(self, ingest, n_batches: int, mode: str = "feature",

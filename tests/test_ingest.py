@@ -103,6 +103,39 @@ def test_engine_feature_mode_end_to_end():
         np.testing.assert_array_equal(scores, np.full(B, 68719476736.0, np.float32))
 
 
+def test_engine_background_drain():
+    """Background-drain mode: readbacks happen on the drain thread, order
+    and per-batch results identical to synchronous mode; close() is clean."""
+    import fleetrec_tpu as fr
+    from fleetrec_tpu import reference as ref
+    from fleetrec_tpu.models import init_model
+    from fleetrec_tpu.serving import ServingEngine
+
+    cfg = fr.get_config("micro_test", batch_size=8)
+    B = 8
+    tables = ref.init_tables(cfg, scheme="rowid")
+    ws = ref.init_mlp_weights(cfg, scheme="uniform")
+    model, params = init_model(cfg, tables_np=tables, mlp_np=ws)
+    eng = ServingEngine.from_model(model, params, batch_size=B,
+                                   max_in_flight=2, background_drain=True)
+
+    rng = np.random.default_rng(3)
+    outs = {}
+    goldens = {}
+    for b in range(12):
+        idx = np.stack([rng.integers(0, t.rows, B) for t in cfg.tables], 1).astype(np.int32)
+        dense = rng.uniform(-1, 1, (B, cfg.dense_dim)).astype(np.float32)
+        goldens[b] = ref.forward(cfg, tables, ws, idx, dense)
+        eng.submit(idx, dense, on_done=lambda bid, s: outs.__setitem__(bid, s))
+    summary = eng.drain()
+    eng.close()
+    eng.close()  # idempotent
+    assert summary["batches"] == 12
+    assert sorted(outs) == list(range(12))
+    for b in range(12):
+        np.testing.assert_allclose(outs[b], goldens[b], rtol=1e-5, atol=1e-5)
+
+
 def test_engine_index_mode_end_to_end():
     """Index-mode wire: senders ship int32 row-ids (+ dense floats); the
     engine runs the FULL fused pipeline and matches the oracle."""

@@ -33,10 +33,31 @@ def test_npz_roundtrip(tmp_path):
     want = np.asarray(jax.jit(model.forward)(params, jnp.asarray(idx), jnp.asarray(dense)))
 
     path = os.path.join(tmp_path, "ckpt.npz")
-    fio.save_npz(path, params)
+    fio.save_npz(path, params, cfg=cfg)
     params2 = fio.load_npz(path, model)
     got = np.asarray(jax.jit(model.forward)(params2, jnp.asarray(idx), jnp.asarray(dense)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_checkpoint_config_fingerprint_mismatch(tmp_path):
+    """Loading against the wrong geometry fails fast, not with a shape
+    error deep in packing (or a silent wrong-offset gather)."""
+    cfg = C.micro_test(batch_size=8)
+    model, params = init_model(cfg, table_scheme="uniform", mlp_scheme="uniform")
+    path = os.path.join(tmp_path, "ckpt.npz")
+    fio.save_npz(path, params, cfg=cfg)
+
+    other = C.tiny_dlrm(batch_size=8)
+    other_model, other_params = init_model(
+        other, table_scheme="uniform", mlp_scheme="uniform"
+    )
+    with pytest.raises(fio.ConfigMismatchError):
+        fio.load_npz(path, other_model)
+
+    opath = os.path.join(tmp_path, "orbax_ckpt")
+    fio.save_orbax(opath, other_params, cfg=other)
+    with pytest.raises(fio.ConfigMismatchError):
+        fio.load_orbax(opath, model, params)
 
 
 def test_orbax_roundtrip(tmp_path):
