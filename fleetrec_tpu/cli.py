@@ -215,6 +215,29 @@ def cmd_netbench(args):
         }))
 
 
+def cmd_plan(args):
+    """Placement plan: per-chip byte accounting + shard load balance for a
+    config on an n_model-way mesh (the analog of the reference's
+    config_sp_*.txt bank-pinning files, computed instead of hand-written)."""
+    from . import config as C
+    from .parallel import plan
+
+    cfg = C.get_config(args.config, batch_size=args.batch)
+    if args.max_rows:
+        cfg = dataclasses.replace(
+            cfg,
+            tables=tuple(dataclasses.replace(t, rows=min(t.rows, args.max_rows)) for t in cfg.tables),
+        )
+    if args.dtype:
+        cfg = dataclasses.replace(cfg, table_dtype=args.dtype)
+    p = plan(cfg, n_model=args.model_axis,
+             hbm_budget_bytes=args.hbm_gb << 30, batch_size=args.batch)
+    out = p.to_json()
+    if not args.shards:
+        out.pop("shards")
+    print(json.dumps(out, indent=2))
+
+
 def cmd_icibench(args):
     """Collective bandwidth over the mesh — iperf_krnl's ICI analog."""
     import jax
@@ -283,6 +306,15 @@ def main(argv=None):
     s.add_argument("--slots", type=int, default=8)
     s.add_argument("--port", type=int, default=27080)
     s.set_defaults(fn=cmd_netbench)
+
+    s = sub.add_parser("plan", parents=[common],
+                       help="placement plan: per-chip bytes + load balance")
+    s.add_argument("--model-axis", type=int, default=8)
+    s.add_argument("--hbm-gb", type=int, default=16,
+                   help="per-chip HBM budget in GiB (v5e: 16)")
+    s.add_argument("--shards", action="store_true",
+                   help="include the per-shard row-range table")
+    s.set_defaults(fn=cmd_plan)
 
     s = sub.add_parser("icibench", parents=[common],
                        help="collective bandwidth microbench (iperf analog)")
