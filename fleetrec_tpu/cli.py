@@ -32,6 +32,8 @@ def _build(args, reduce_rows=None):
         )
     if getattr(args, "take_lanes", 0):
         cfg = dataclasses.replace(cfg, take_lanes=args.take_lanes)
+    if getattr(args, "onehot_max", None) is not None:
+        cfg = dataclasses.replace(cfg, onehot_max=args.onehot_max)
     if args.dtype:
         if args.dtype == "int8":
             # int8 quantizes table storage only; the MLP stays fp32
@@ -215,6 +217,74 @@ def cmd_netbench(args):
         }))
 
 
+def cmd_autotune(args):
+    """Sweep the one-hot/take crossover threshold for a config on the
+    attached chip and report ms/batch per candidate (the measured analog
+    of the reference's static PLRAM-vs-HBM table assignment)."""
+    import jax.numpy as jnp
+
+    from .utils.timing import DeviceBench
+
+    results = []
+    best = None
+    for th in args.thresholds:
+        args.onehot_max = th
+        cfg, model, params, _ = _build(args)
+        n_oh = model.layout.n_onehot
+        rng = np.random.default_rng(0)
+        idx = jnp.asarray(
+            np.stack(
+                [rng.integers(0, t.rows, (args.iters, args.batch)) for t in cfg.tables], 2
+            ).astype(np.int32)
+        )
+        dense = (
+            jnp.asarray(
+                rng.uniform(-1, 1, (args.iters, args.batch, cfg.dense_dim)).astype(np.float32))
+            if cfg.dense_dim else None
+        )
+
+        def step(p, x):
+            if dense is not None:
+                return model.forward(p, x[0], x[1])
+            return model.forward(p, x, None)
+
+        r = DeviceBench(step).measure(params, (idx, dense) if dense is not None else idx)
+        row = {"onehot_max": th, "onehot_tables": n_oh,
+               "take_tables": model.layout.n_take,
+               "ms_per_batch": round(r["per_iter_ms"], 4)}
+        results.append(row)
+        print(json.dumps(row), file=sys.stderr, flush=True)
+        if best is None or row["ms_per_batch"] < best["ms_per_batch"]:
+            best = row
+    print(json.dumps({"config": args.config, "batch": args.batch,
+                      "best": best, "sweep": results}))
+
+
+def cmd_gatherbench(args):
+    """Row-gather shootout: XLA take vs the Pallas DMA-pipeline kernel on
+    the same [R, 128] buffer — re-runs the measurement behind the lookup
+    design decision (docs/DESIGN.md), ns/row apiece."""
+    import jax.numpy as jnp
+
+    from .ops.gather_pallas import gather_rows
+    from .utils.timing import DeviceBench
+
+    rng = np.random.default_rng(0)
+    R, L, N, K = args.rows, 128, args.n_rows, args.iters
+    table = jnp.asarray(rng.standard_normal((R, L)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, R, (K, N)).astype(np.int32))
+
+    res = {}
+    b = DeviceBench(lambda t, i: jnp.take(t, i, axis=0))
+    res["xla_take_ns_per_row"] = b.measure(table, idx)["per_iter_ms"] * 1e6 / N
+    b = DeviceBench(lambda t, i: gather_rows(t, i, chunk=args.chunk,
+                                             window=args.window))
+    res["pallas_dma_ns_per_row"] = b.measure(table, idx)["per_iter_ms"] * 1e6 / N
+    res.update(rows=R, gathered_rows=N, chunk=args.chunk, window=args.window)
+    print(json.dumps({k: round(v, 2) if isinstance(v, float) else v
+                      for k, v in res.items()}))
+
+
 def cmd_plan(args):
     """Placement plan: per-chip byte accounting + shard load balance for a
     config on an n_model-way mesh (the analog of the reference's
@@ -270,6 +340,8 @@ def main(argv=None):
     common.add_argument("--take-lanes", type=int, default=0,
                         help="take-buffer row width in lanes (multiple of 128)")
     common.add_argument("--mlp-scheme", default="ones")
+    common.add_argument("--onehot-max", type=int, default=None,
+                        help="one-hot/take crossover row threshold")
 
     s = sub.add_parser("serve", parents=[common])
     s.add_argument("--port", type=int, default=7080)
@@ -306,6 +378,24 @@ def main(argv=None):
     s.add_argument("--slots", type=int, default=8)
     s.add_argument("--port", type=int, default=27080)
     s.set_defaults(fn=cmd_netbench)
+
+    s = sub.add_parser("autotune", parents=[common],
+                       help="sweep the one-hot/take crossover on-device")
+    s.add_argument("--iters", type=int, default=16)
+    s.add_argument("--thresholds", type=int, nargs="+",
+                   default=[512, 1024, 2048, 4096, 8192])
+    s.set_defaults(fn=cmd_autotune)
+
+    s = sub.add_parser("gatherbench",
+                       help="XLA take vs Pallas DMA gather, ns/row")
+    s.add_argument("--rows", type=int, default=1 << 20)
+    s.add_argument("--n-rows", type=int, default=4096 * 30,
+                   help="gathered rows per iteration (model1-like)")
+    s.add_argument("--iters", type=int, default=16)
+    s.add_argument("--chunk", type=int, default=512)
+    s.add_argument("--window", type=int, default=8)
+    s.add_argument("--platform", default="")
+    s.set_defaults(fn=cmd_gatherbench)
 
     s = sub.add_parser("plan", parents=[common],
                        help="placement plan: per-chip bytes + load balance")

@@ -106,6 +106,10 @@ class ModelConfig:
     # Parity mode: fp32 + fixed layouts for bit-exact golden comparison.
     dtype: str = "float32"  # compute dtype of the MLP chain
     table_dtype: str = "float32"
+    # Tables with at most this many rows take the one-hot MXU path instead
+    # of the row gather (crossover measured ~1.5-2K rows on v5e for model1;
+    # `cli autotune` sweeps this per config on the attached chip).
+    onehot_max: int = 2048
     # Width of a packed take-buffer row in lanes (multiple of 128). Wider
     # rows fold several 128-lane physical rows into one gather index: the
     # gather costs ~13 ns per INDEX, so folding cuts the index count at the
@@ -166,12 +170,15 @@ def _load_json(name: str) -> dict:
         return json.load(f)
 
 
-def fleetrec_model1(batch_size: int = 1024, dtype: str = "float32") -> ModelConfig:
+def fleetrec_model1(batch_size: int = 1024, dtype: str = "float32",
+                    onehot_max: int = 16384) -> ModelConfig:
     """Paper model 1: 47 tables, 352-float feature, MLP 352-1024-512-256-1.
 
     Geometry extracted from
     FPGA/kernel/user_krnl/embedding_krnl/src/hls/constants.hpp (TABLE_NUM=47,
     INPUT_SIZE=352) and validated against its VECTOR_START_IDX_* constants.
+    onehot_max=16384 measured best on v5e (`cli autotune`: 2.10 vs 2.42
+    ms/4096-batch at the generic 2048 default).
     """
     raw = _load_json("fleetrec_model1")
     cfg = ModelConfig(
@@ -181,15 +188,19 @@ def fleetrec_model1(batch_size: int = 1024, dtype: str = "float32") -> ModelConf
         batch_size=batch_size,
         dtype=dtype,
         table_dtype=dtype,
+        onehot_max=onehot_max,
     )
     cfg.validate()
     return cfg
 
 
-def fleetrec_model2(batch_size: int = 1024, dtype: str = "float32") -> ModelConfig:
+def fleetrec_model2(batch_size: int = 1024, dtype: str = "float32",
+                    onehot_max: int = 32768) -> ModelConfig:
     """Paper model 2: 98 tables, 880-float feature (876 padded to 880),
     MLP 880-1024-512-256-1 (embedding_98_krnl constants.hpp; 1-node GPU
-    server constant.h:21-27)."""
+    server constant.h:21-27).  onehot_max=32768 measured best on v5e
+    (4.53 vs 5.63 ms/4096-batch at 2048; 65536 collapses to 9.5 — the
+    one-hot mask cost is B*n*rows_pad VPU compares, docs/DESIGN.md)."""
     raw = _load_json("fleetrec_model2")
     cfg = ModelConfig(
         name="fleetrec_model2",
@@ -198,6 +209,7 @@ def fleetrec_model2(batch_size: int = 1024, dtype: str = "float32") -> ModelConf
         batch_size=batch_size,
         dtype=dtype,
         table_dtype=dtype,
+        onehot_max=onehot_max,
     )
     cfg.validate()
     return cfg

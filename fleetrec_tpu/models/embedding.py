@@ -43,9 +43,39 @@ from ..config import LANES, ModelConfig, TableSpec
 # Tables at or below this row count go to the one-hot MXU path.
 DEFAULT_ONEHOT_MAX = 2048
 
+# Bucketing the one-hot classes: each extra class costs one more XLA op
+# (~0.1-0.4 ms fixed on this chip) but stops small tables padding to the
+# class max (the mask costs B*n*rows_pad VPU compares, ~1 ns each at
+# B=4096 — docs/DESIGN.md "One-hot cost mechanism").  Expressed in row
+# units: one op's fixed cost ~ 0.2 ms / (B * 1 ns) ~ 48K padded rows.
+_BUCKET_FIXED_ROWS = 49152
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _partition_rows(rows_sorted: List[int], fixed: int = _BUCKET_FIXED_ROWS) -> List[int]:
+    """Optimal contiguous partition of a sorted row-count list into buckets
+    minimizing sum over buckets of (fixed + n_bucket * max_rows_bucket) —
+    the per-op overhead vs padded-compare-volume tradeoff.  Returns bucket
+    end indices (exclusive).  O(k^2) DP; k = tables per dim (<= ~200)."""
+    k = len(rows_sorted)
+    cost = [0.0] * (k + 1)
+    back = [0] * (k + 1)
+    for i in range(1, k + 1):
+        best, bj = None, 0
+        for j in range(i):
+            c = cost[j] + fixed + (i - j) * rows_sorted[i - 1]
+            if best is None or c < best:
+                best, bj = c, j
+        cost[i], back[i] = best, bj
+    ends = []
+    i = k
+    while i > 0:
+        ends.append(i)
+        i = back[i]
+    return ends[::-1]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -126,21 +156,29 @@ def build_layout(
     small = [t for t in tables if t.rows <= onehot_max]
     large = [t for t in tables if t.rows > onehot_max]
 
-    # One one-hot class per dim: all small tables of a dim pad to the max
-    # row count among them.  Fewer classes = fewer ops (each XLA op carries
-    # ~0.1-0.4 ms fixed overhead on this chip); the padding is zero rows of
-    # tiny tables, a few MB at most.
+    # One-hot classes: per dim, tables partition into row-size buckets by a
+    # DP balancing per-op fixed overhead against padded mask volume (the
+    # mask costs B*n*rows_pad compares; one class per dim measured 2.4-2.8x
+    # compare-volume waste on the paper geometries).
     by_class: Dict[int, List[TableSpec]] = {}
     for t in small:
         by_class.setdefault(t.dim, []).append(t)
-    classes = tuple(
-        OneHotClass(
-            dim=d,
-            rows_pad=_round_up(max(max(t.rows for t in ts), 8), 8),
-            table_ids=tuple(t.table_id for t in ts),
-        )
-        for d, ts in sorted(by_class.items())
-    )
+    classes_list: List[OneHotClass] = []
+    for d, ts in sorted(by_class.items()):
+        ts = sorted(ts, key=lambda t: t.rows)
+        ends = _partition_rows([t.rows for t in ts])
+        start = 0
+        for end in ends:
+            bucket = ts[start:end]
+            classes_list.append(
+                OneHotClass(
+                    dim=d,
+                    rows_pad=_round_up(max(max(t.rows for t in bucket), 8), 8),
+                    table_ids=tuple(t.table_id for t in bucket),
+                )
+            )
+            start = end
+    classes = tuple(classes_list)
 
     by_dim: Dict[int, List[TableSpec]] = {}
     for t in large:

@@ -48,7 +48,7 @@ class FleetRecModel:
         # fold several physical rows per gather index (cfg.take_lanes).
         layout = build_layout(
             cfg.tables, cfg.feature_dim, cfg.dense_dim,
-            take_lanes=cfg.take_lanes,
+            onehot_max=cfg.onehot_max, take_lanes=cfg.take_lanes,
         )
         perm = tuple(int(p) for p in index_columns(layout, [t.table_id for t in cfg.tables]))
         return cls(cfg=cfg, layout=layout, index_perm=perm)

@@ -94,11 +94,14 @@ def plan(
     """
     B = batch_size or cfg.batch_size
     layout = build_layout(cfg.tables, cfg.feature_dim, cfg.dense_dim,
-                          take_lanes=cfg.take_lanes)
+                          onehot_max=cfg.onehot_max, take_lanes=cfg.take_lanes)
     isz = _ITEMSIZE[cfg.table_dtype]
 
+    # one-hot class buffers are [n, rows_pad, dim]; on TPU the minor dim
+    # physically pads to 128 lanes, so HBM cost is 128/dim x the logical
+    # bytes — THE tradeoff autotuning the one-hot threshold buys speed with
     onehot_bytes = sum(
-        c.num_tables * c.rows_pad * c.dim * isz for c in layout.onehot_classes
+        c.num_tables * c.rows_pad * LANES * isz for c in layout.onehot_classes
     )
     mlp_isz = _ITEMSIZE[cfg.dtype]
     w = cfg.mlp.widths

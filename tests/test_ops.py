@@ -31,6 +31,22 @@ def test_fused_mlp_relu_and_parity_constant():
     np.testing.assert_array_equal(out, out_r)
 
 
+def test_pallas_gather_rows_matches_take():
+    """Interpret-mode check of the Pallas DMA gather vs jnp.take (the
+    production path); includes the pad-to-chunk remainder case."""
+    import jax.numpy as jnp
+
+    from fleetrec_tpu.ops.gather_pallas import gather_rows
+
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.standard_normal((4096, 128)).astype(np.float32))
+    for n in (512, 700):  # multiple of chunk and a ragged tail
+        idx = jnp.asarray(rng.integers(0, 4096, n).astype(np.int32))
+        got = gather_rows(table, idx, chunk=256, window=4, interpret=True)
+        want = jnp.take(table, idx, axis=0)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_ici_bench_runs_on_mesh():
     from fleetrec_tpu.benchmarks import ici_bench
     from fleetrec_tpu.parallel import make_mesh
