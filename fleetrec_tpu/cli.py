@@ -40,6 +40,13 @@ def _build(args, reduce_rows=None):
             cfg = dataclasses.replace(cfg, table_dtype="int8")
         else:
             cfg = dataclasses.replace(cfg, dtype=args.dtype, table_dtype=args.dtype)
+    if getattr(args, "ckpt", ""):
+        from . import io as fio
+        from .models import FleetRecModel
+
+        model = FleetRecModel.create(cfg)
+        params = fio.load_npz(args.ckpt, model)
+        return cfg, model, params, None
     tables = ref.init_tables(cfg, scheme=args.table_scheme)
     model, params = init_model(cfg, tables_np=tables, mlp_scheme=args.mlp_scheme)
     return cfg, model, params, tables
@@ -176,8 +183,9 @@ def cmd_servebench(args):
     r = run_servebench(
         model, params, batch_size=args.batch, offered_qps=args.qps,
         duration_s=args.duration, max_wait_ms=args.max_wait_ms,
+        device_pool=args.device_pool, fuse=args.fuse,
     )
-    print(json.dumps({"config": cfg.name, **r.to_json()}))
+    print(json.dumps({"config": cfg.name, "fuse": args.fuse, **r.to_json()}))
 
 
 def cmd_netbench(args):
@@ -215,6 +223,21 @@ def cmd_netbench(args):
             "batch_assembly_ms_p50": round(float(np.percentile(lat, 50)), 3),
             "batch_assembly_ms_p99": round(float(np.percentile(lat, 99)), 3),
         }))
+
+
+def cmd_export(args):
+    """Synthesize (or re-pack) a model and write an npz checkpoint with the
+    config fingerprint — the table-loading path the reference lacks (its
+    hosts re-synthesize tables every run, host.cpp:282-718)."""
+    from . import io as fio
+
+    cfg, _model, params, _ = _build(args)
+    fio.save_npz(args.out, params, cfg=cfg)
+    import os
+
+    print(json.dumps({"path": args.out, "bytes": os.path.getsize(args.out),
+                      "config": cfg.name,
+                      "fingerprint": fio.config_fingerprint(cfg)[:12]}))
 
 
 def cmd_autotune(args):
@@ -342,6 +365,9 @@ def main(argv=None):
     common.add_argument("--mlp-scheme", default="ones")
     common.add_argument("--onehot-max", type=int, default=None,
                         help="one-hot/take crossover row threshold")
+    common.add_argument("--ckpt", default="",
+                        help="load params from an npz checkpoint (fingerprint-"
+                        "checked) instead of synthesizing")
 
     s = sub.add_parser("serve", parents=[common])
     s.add_argument("--port", type=int, default=7080)
@@ -369,6 +395,12 @@ def main(argv=None):
     s.add_argument("--qps", type=float, default=500_000)
     s.add_argument("--duration", type=float, default=5.0)
     s.add_argument("--max-wait-ms", type=float, default=2.0)
+    s.add_argument("--device-pool", action="store_true",
+                   help="pre-stage the query pool on device (use on the "
+                   "tunneled dev chip where per-call H2D is ~14 MB/s)")
+    s.add_argument("--fuse", type=int, default=1,
+                   help="batches per dispatch (scan); amortizes the tunnel's "
+                   "~29 ms per-call floor; implies --device-pool")
     s.set_defaults(fn=cmd_servebench)
 
     s = sub.add_parser("netbench")
@@ -378,6 +410,11 @@ def main(argv=None):
     s.add_argument("--slots", type=int, default=8)
     s.add_argument("--port", type=int, default=27080)
     s.set_defaults(fn=cmd_netbench)
+
+    s = sub.add_parser("export", parents=[common],
+                       help="write an npz checkpoint (+config fingerprint)")
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=cmd_export)
 
     s = sub.add_parser("autotune", parents=[common],
                        help="sweep the one-hot/take crossover on-device")

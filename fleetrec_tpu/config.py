@@ -215,11 +215,13 @@ def fleetrec_model2(batch_size: int = 1024, dtype: str = "float32",
     return cfg
 
 
-def fleetrec_model3(batch_size: int = 1024, dtype: str = "float32") -> ModelConfig:
+def fleetrec_model3(batch_size: int = 1024, dtype: str = "float32",
+                    onehot_max: int = 16384) -> ModelConfig:
     """Paper model 3: 377 tables = 2 x 188 (the two-FPGA shards of
     embedding_377_krnl) + a 64-float dense CPU slice; feature 3968 =
     1952 + 1952 + 64 (constant.h:25-27); MLP 3968-2048-512-256-1
-    (constant.h:30-33)."""
+    (constant.h:30-33).  onehot_max=16384 measured best on v5e (22.1 vs
+    27.3 ms/4096-batch at 2048, rows capped 1M)."""
     raw = _load_json("fleetrec_model3_fpga")
     shard0 = _tables_from_json(raw["tables"])
     shard1 = _tables_from_json(raw["tables"], offset_shift=raw["feature_dim"], id_shift=len(shard0))
@@ -232,6 +234,7 @@ def fleetrec_model3(batch_size: int = 1024, dtype: str = "float32") -> ModelConf
         batch_size=batch_size,
         dtype=dtype,
         table_dtype=dtype,
+        onehot_max=onehot_max,
     )
     cfg.validate()
     return cfg

@@ -40,6 +40,8 @@ def run_servebench(
     max_wait_ms: float = 2.0,
     seed: int = 0,
     max_in_flight: int = 2,
+    device_pool: bool = False,
+    fuse: int = 1,
 ) -> ServeBenchResult:
     """Simulate Poisson arrivals at offered_qps; form batches of up to
     batch_size, dispatching early after max_wait_ms; score on device.
@@ -48,6 +50,20 @@ def run_servebench(
     Arrivals are generated on a virtual clock that tracks real time (the
     generator never becomes the bottleneck: if the engine falls behind, the
     backlog grows and latencies show it — closed-loop honesty).
+
+    device_pool=True pre-stages the query pool on device and slices batches
+    device-side, removing the per-batch H2D copy from the measured path.
+    Use it on the TUNNELED dev chip, where per-call H2D runs at ~14 MB/s
+    (~55 ms per 4096x47-int32 batch — an RPC-tunnel artifact, not the
+    engine: production host-attached chips copy at GB/s and overlap H2D
+    with compute). The wire tier is measured separately by `cli netbench`.
+
+    fuse=K (implies device_pool) dispatches K batches per call as one
+    lax.scan — amortizes the tunnel's ~29 ms per-call dispatch+readback
+    floor (measured: 73K q/s naive, 142K with device_pool, vs 2.37M device
+    rate). At production dispatch overhead (~0.1-0.3 ms/call) fuse=1 is
+    the right setting; the latency cost of fusing is K*B/offered_qps of
+    added queueing.
     """
     import jax
     import jax.numpy as jnp
@@ -67,10 +83,34 @@ def run_servebench(
         else None
     )
 
+    if fuse > 1:
+        device_pool = True
+    if device_pool:
+        pool_i = jnp.asarray(idx_pool)
+        pool_d = None if dense_pool is None else jnp.asarray(dense_pool)
+
+        @jax.jit
+        def fwd_at(params, start):
+            i = jax.lax.dynamic_slice_in_dim(pool_i, start, batch_size, 0)
+            d = (None if pool_d is None
+                 else jax.lax.dynamic_slice_in_dim(pool_d, start, batch_size, 0))
+            return model.forward(params, i, d)
+
+        @jax.jit
+        def fwd_scan(params, starts):
+            def step(c, s):
+                return c, fwd_at(params, s)
+            return jax.lax.scan(step, 0, starts)[1]  # [fuse, B]
+
     # warm compile
-    warm_i = jnp.asarray(idx_pool[:batch_size])
-    warm_d = None if dense_pool is None else jnp.asarray(dense_pool[:batch_size])
-    fwd(params, warm_i, warm_d).block_until_ready()
+    if fuse > 1:
+        fwd_scan(params, jnp.zeros(fuse, jnp.int32)).block_until_ready()
+    elif device_pool:
+        fwd_at(params, 0).block_until_ready()
+    else:
+        warm_i = jnp.asarray(idx_pool[:batch_size])
+        warm_d = None if dense_pool is None else jnp.asarray(dense_pool[:batch_size])
+        fwd(params, warm_i, warm_d).block_until_ready()
 
     # Poisson arrival times
     n_max = int(offered_qps * duration_s * 1.2) + batch_size
@@ -78,35 +118,49 @@ def run_servebench(
     arrivals = np.cumsum(gaps)
     arrivals = arrivals[arrivals < duration_s]
 
+    group = batch_size * fuse  # queries per dispatch
     lat = []
     fills = []
     in_flight = []  # (scores_dev, member_arrivals)
     t0 = time.time()
     qi = 0
+    wall_cap = duration_s * 10  # overload guard: stop reporting what's done
     while qi < len(arrivals):
+        if time.time() - t0 > wall_cap:
+            arrivals = arrivals[:qi]
+            break
         now = time.time() - t0
         # wait until at least one query has arrived
         if arrivals[qi] > now:
             time.sleep(min(arrivals[qi] - now, 0.001))
             continue
-        # batch formation: take all arrived, up to batch_size; if fewer,
-        # allow up to max_wait_ms from the FIRST query's arrival
+        # batch formation: take all arrived, up to group; if fewer, allow
+        # up to max_wait_ms from the FIRST query's arrival
         deadline = arrivals[qi] + max_wait_ms / 1e3
         end = qi
         while True:
             now = time.time() - t0
             arrived = np.searchsorted(arrivals, now)
-            end = min(arrived, qi + batch_size)
-            if end - qi >= batch_size or now >= deadline:
+            end = min(arrived, qi + group)
+            if end - qi >= group or now >= deadline:
                 break
             time.sleep(0.0002)
         count = max(end - qi, 1)
-        sel = (np.arange(qi, qi + batch_size)) % POOL  # fixed-shape batch
-        bi = jnp.asarray(idx_pool[sel])
-        bd = None if dense_pool is None else jnp.asarray(dense_pool[sel])
-        scores = fwd(params, bi, bd)
+        if fuse > 1:
+            wrap = max(POOL - batch_size, 1)
+            starts = jnp.asarray(
+                [(qi + k * batch_size) % wrap for k in range(fuse)], jnp.int32)
+            scores = fwd_scan(params, starts)
+        elif device_pool:
+            start = qi % max(POOL - batch_size, 1)
+            scores = fwd_at(params, start)
+        else:
+            sel = (np.arange(qi, qi + batch_size)) % POOL  # fixed-shape batch
+            bi = jnp.asarray(idx_pool[sel])
+            bd = None if dense_pool is None else jnp.asarray(dense_pool[sel])
+            scores = fwd(params, bi, bd)
         in_flight.append((scores, arrivals[qi:qi + count].copy()))
-        fills.append(count / batch_size)
+        fills.append(count / group)
         qi += count
         while len(in_flight) > max_in_flight:
             s, arr = in_flight.pop(0)
