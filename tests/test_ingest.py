@@ -235,6 +235,23 @@ def test_sender_reconnect_resumes_batch():
             ing.release(slot)
 
 
+def test_servebench_device_pool_and_fuse():
+    """device_pool slices batches device-side; fuse=K scans K batches per
+    dispatch — both must achieve the offered load and report sane latency."""
+    import fleetrec_tpu as fr
+    from fleetrec_tpu.models import init_model
+    from fleetrec_tpu.serving.servebench import run_servebench
+
+    cfg = fr.get_config("micro_test", batch_size=16)
+    model, params = init_model(cfg, table_scheme="uniform", mlp_scheme="uniform")
+    for kw in ({"device_pool": True}, {"fuse": 4}):
+        r = run_servebench(model, params, batch_size=16, offered_qps=4000,
+                           duration_s=0.5, max_wait_ms=2.0, **kw)
+        assert r.n_queries > 500
+        assert r.achieved_qps > 1000
+        assert r.latency_ms_p99 < 5000
+
+
 def test_servebench_cpu_smoke():
     """servebench closed loop on CPU: low offered load must be achieved and
     produce sane latency percentiles."""
