@@ -34,6 +34,8 @@ def _build(args, reduce_rows=None):
         cfg = dataclasses.replace(cfg, take_lanes=args.take_lanes)
     if getattr(args, "onehot_max", None) is not None:
         cfg = dataclasses.replace(cfg, onehot_max=args.onehot_max)
+    if getattr(args, "take_stripes", 0):
+        cfg = dataclasses.replace(cfg, take_stripes=args.take_stripes)
     if args.dtype:
         if args.dtype == "int8":
             # int8 quantizes table storage only; the MLP stays fp32
@@ -365,6 +367,9 @@ def main(argv=None):
     common.add_argument("--mlp-scheme", default="ones")
     common.add_argument("--onehot-max", type=int, default=None,
                         help="one-hot/take crossover row threshold")
+    common.add_argument("--take-stripes", type=int, default=0,
+                        help="striped take layout (balanced row-sharding); "
+                        "0 = config default")
     common.add_argument("--ckpt", default="",
                         help="load params from an npz checkpoint (fingerprint-"
                         "checked) instead of synthesizing")

@@ -110,6 +110,13 @@ class ModelConfig:
     # of the row gather (crossover measured ~1.5-2K rows on v5e for model1;
     # `cli autotune` sweeps this per config on the attached chip).
     onehot_max: int = 2048
+    # Striped take layout: the packed buffer becomes take_stripes stripes
+    # and each table's physical rows round-robin over them, so every
+    # row-shard of a mesh whose "model" axis divides take_stripes owns
+    # exactly 1/S of EVERY table — gather load balanced by construction.
+    # 1 = contiguous segments (single-chip default). Set to the largest
+    # model-axis size you plan to serve on (e.g. 16 for v5e-16).
+    take_stripes: int = 1
     # Width of a packed take-buffer row in lanes (multiple of 128). Wider
     # rows fold several 128-lane physical rows into one gather index: the
     # gather costs ~13 ns per INDEX, so folding cuts the index count at the
@@ -294,7 +301,8 @@ def parity_synthetic(input_width: int = 512, batch_size: int = 32) -> ModelConfi
     )
 
 
-def criteo_terabyte(batch_size: int = 1024, dtype: str = "bfloat16") -> ModelConfig:
+def criteo_terabyte(batch_size: int = 1024, dtype: str = "bfloat16",
+                    take_stripes: int = 16) -> ModelConfig:
     """Terabyte-Criteo-scale config (BASELINE.json config 5): 26 categorical
     tables with the classic Criteo-1TB cardinalities (largest ~192M rows;
     here one table is held at 1B rows to force row+column sharding), dim 32,
@@ -318,6 +326,7 @@ def criteo_terabyte(batch_size: int = 1024, dtype: str = "bfloat16") -> ModelCon
         batch_size=batch_size,
         dtype=dtype,
         table_dtype=dtype,
+        take_stripes=take_stripes,
     )
     cfg.validate()
     return cfg

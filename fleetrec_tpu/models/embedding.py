@@ -95,10 +95,12 @@ class OneHotClass:
 class TakeGroup:
     """Tables of one dim sharing the unified packed buffer.
 
-    base_phys are absolute physical-row offsets into the unified buffer.
-    ``lanes`` is the physical row width: 128 for 4-byte tables; 64 for
-    16-bit tables, whose row gather measures 2x faster (6 vs 13 ns/row on
-    v5e) when the fetched slice is narrower than 128 lanes.
+    base_phys are physical-row offsets: absolute in the unified buffer for
+    an unstriped layout, intra-stripe for a striped one (see PackedLayout.
+    take_stripes).  ``lanes`` is the physical row width: 128 for 4-byte
+    tables; 64 for 16-bit tables, whose row gather measures 2x faster
+    (6 vs 13 ns/row on v5e) when the fetched slice is narrower than 128
+    lanes.
     """
 
     dim: int
@@ -130,6 +132,14 @@ class PackedLayout:
     dense_dim: int
     # index-matrix column order: column k belongs to table index_table_ids[k]
     index_table_ids: Tuple[int, ...]
+    # Striped layout: the buffer is take_stripes stripes of stripe_height
+    # rows; physical row p of a table at intra-stripe offset base lives at
+    # (p % S) * H + base + p // S.  With S a multiple of the mesh "model"
+    # axis, EVERY row-shard owns exactly 1/S of every table — gather load
+    # balanced by construction (a giant-table config like criteo measures
+    # 5.3x imbalance unstriped).  S=1 = plain contiguous segments.
+    take_stripes: int = 1
+    stripe_height: int = 0
 
     @property
     def n_onehot(self) -> int:
@@ -146,6 +156,7 @@ def build_layout(
     dense_dim: int = 0,
     onehot_max: int = DEFAULT_ONEHOT_MAX,
     take_lanes: int = LANES,
+    take_stripes: int = 1,
 ) -> PackedLayout:
     """Plan the two-path packing + the static output-layout permutation.
 
@@ -185,19 +196,23 @@ def build_layout(
         by_dim.setdefault(t.dim, []).append(t)
     if large:
         take_lanes = max(take_lanes, max(t.dim for t in large))
+    S = max(take_stripes, 1)
     groups: List[TakeGroup] = []
-    phys = 0
+    phys = 0  # S=1: absolute rows; S>1: intra-stripe rows (stripe height)
     for d in sorted(by_dim):
         ts = by_dim[d]
         s_rows = take_lanes // d
         bases = []
         for t in ts:
             bases.append(phys)
-            phys += -(-t.rows // s_rows)
+            pr = -(-t.rows // s_rows)
+            phys += -(-pr // S) if S > 1 else pr
         groups.append(
             TakeGroup(dim=d, table_ids=tuple(t.table_id for t in ts),
                       base_phys=tuple(bases), lanes=take_lanes)
         )
+    stripe_height = phys if S > 1 else 0
+    phys_total = phys * S if S > 1 else phys
 
     # source offsets: onehot outs first (class order), then take outs
     src_offset: Dict[int, int] = {}
@@ -228,12 +243,14 @@ def build_layout(
     return PackedLayout(
         onehot_classes=classes,
         take_groups=tuple(groups),
-        take_phys_total=phys,
+        take_phys_total=phys_total,
         take_lanes=take_lanes,
         feature_perm=tuple(int(p) for p in perm),
         feature_dim=feature_dim,
         dense_dim=dense_dim,
         index_table_ids=index_ids,
+        take_stripes=S,
+        stripe_height=stripe_height,
     )
 
 
@@ -326,6 +343,7 @@ def pack_tables(
 
     take = None
     if layout.take_phys_total:
+        S, H = layout.take_stripes, layout.stripe_height
         buf = np.zeros((layout.take_phys_total, layout.take_lanes), dtype=np.float32)
         for g in layout.take_groups:
             s = g.rows_per_phys
@@ -335,7 +353,12 @@ def pack_tables(
                 phys_rows = -(-spec.rows // s)
                 p = np.zeros((phys_rows * s, spec.dim), dtype=np.float32)
                 p[: spec.rows] = arr
-                buf[base : base + phys_rows] = p.reshape(phys_rows, g.lanes)
+                packed_rows = p.reshape(phys_rows, g.lanes)
+                if S > 1:
+                    pr = np.arange(phys_rows)
+                    buf[(pr % S) * H + base + pr // S] = packed_rows
+                else:
+                    buf[base : base + phys_rows] = packed_rows
         take = jnp.asarray(buf, dtype=dtype)
     take_scales = None
     if quant and layout.take_groups:
@@ -347,6 +370,28 @@ def pack_tables(
         layout=layout, onehot_buffers=onehot_buffers, take_buffer=take,
         onehot_scales=onehot_scales if quant else None, take_scales=take_scales,
     )
+
+
+def take_phys_sub(layout: PackedLayout, tidx: jax.Array):
+    """Map plan-order logical row ids [B, n_take] to (buffer row, sub-row).
+
+    One formula covers both layouts: contiguous (S=1) and striped
+    (row p of a table at intra-stripe offset base -> (p % S) * H + base +
+    p // S).  Used by the single-device and shard_map forwards."""
+    bases, ss = [], []
+    for g in layout.take_groups:
+        bases.extend(g.base_phys)
+        ss.extend([g.rows_per_phys] * g.num_tables)
+    base = jnp.asarray(bases, dtype=jnp.int32)
+    s_arr = jnp.asarray(ss, dtype=jnp.int32)
+    p = (tidx // s_arr[None, :]).astype(jnp.int32)
+    sub = (tidx % s_arr[None, :]).astype(jnp.int32)
+    S = layout.take_stripes
+    if S > 1:
+        phys = (p % S) * layout.stripe_height + base[None, :] + p // S
+    else:
+        phys = base[None, :] + p
+    return phys, sub
 
 
 def _onehot_lookup(
@@ -403,15 +448,7 @@ def lookup_concat(
     if layout.take_groups:
         n_take = layout.n_take
         tidx = jax.lax.slice_in_dim(indices, k, k + n_take, axis=1)  # [B, n_take]
-        # physical row + sub-row per column
-        bases, ss = [], []
-        for g in layout.take_groups:
-            bases.extend(g.base_phys)
-            ss.extend([g.rows_per_phys] * g.num_tables)
-        base = jnp.asarray(bases, dtype=jnp.int32)
-        s_arr = jnp.asarray(ss, dtype=jnp.int32)
-        phys = base[None, :] + (tidx // s_arr[None, :]).astype(jnp.int32)
-        sub = (tidx % s_arr[None, :]).astype(jnp.int32)
+        phys, sub = take_phys_sub(layout, tidx)
         rows = jnp.take(packed.take_buffer, phys.reshape(-1), axis=0)
         rows = rows.reshape(B, n_take, layout.take_lanes)
         tq = packed.take_buffer.dtype == jnp.int8

@@ -49,6 +49,7 @@ class FleetRecModel:
         layout = build_layout(
             cfg.tables, cfg.feature_dim, cfg.dense_dim,
             onehot_max=cfg.onehot_max, take_lanes=cfg.take_lanes,
+            take_stripes=cfg.take_stripes,
         )
         perm = tuple(int(p) for p in index_columns(layout, [t.table_id for t in cfg.tables]))
         return cls(cfg=cfg, layout=layout, index_perm=perm)

@@ -94,7 +94,8 @@ def plan(
     """
     B = batch_size or cfg.batch_size
     layout = build_layout(cfg.tables, cfg.feature_dim, cfg.dense_dim,
-                          onehot_max=cfg.onehot_max, take_lanes=cfg.take_lanes)
+                          onehot_max=cfg.onehot_max, take_lanes=cfg.take_lanes,
+                          take_stripes=cfg.take_stripes)
     isz = _ITEMSIZE[cfg.table_dtype]
 
     # one-hot class buffers are [n, rows_pad, dim]; on TPU the minor dim
@@ -113,14 +114,21 @@ def plan(
     rows_per_shard = phys_pad // n_model if n_model else 0
     take_bytes_per_chip = rows_per_shard * layout.take_lanes * isz
 
-    # per-table physical ranges in the unified buffer
-    ranges: List[Tuple[int, int, int, int]] = []  # (tid, base, end, rows)
+    # per-table physical ranges in the unified buffer; a striped layout
+    # gives each table one range per stripe
+    S, H = layout.take_stripes, layout.stripe_height
+    ranges: List[Tuple[int, List[Tuple[int, int]], int]] = []  # (tid, [(b,e)], rows)
     by_id = {t.table_id: t for t in cfg.tables}
     for g in layout.take_groups:
         s = g.rows_per_phys
         for tid, base in zip(g.table_ids, g.base_phys):
             pr = -(-by_id[tid].rows // s)
-            ranges.append((tid, base, base + pr, pr))
+            if S > 1:
+                span = -(-pr // S)
+                rs = [(k * H + base, k * H + base + span) for k in range(S)]
+            else:
+                rs = [(base, base + pr)]
+            ranges.append((tid, rs, pr))
 
     n_take = layout.n_take
     shards = []
@@ -128,8 +136,8 @@ def plan(
         lo, hi = s * rows_per_shard, (s + 1) * rows_per_shard
         touched = []
         load = 0.0
-        for tid, b, e, pr in ranges:
-            ov = max(0, min(e, hi) - max(b, lo))
+        for tid, rs, pr in ranges:
+            ov = sum(max(0, min(e, hi) - max(b, lo)) for b, e in rs)
             if ov:
                 touched.append(tid)
                 # each take-table contributes 1/n_take of the gathers; a
@@ -170,8 +178,9 @@ def plan(
         imb = max(loads) / (sum(loads) / len(loads)) if sum(loads) else 1.0
         if imb > 1.25:
             notes.append(
-                f"uniform-traffic gather load imbalance {imb:.2f}x: consider "
-                "split_table_columns on the dominant table(s)"
+                f"uniform-traffic gather load imbalance {imb:.2f}x: set "
+                f"take_stripes={n_model} (striped layout balances by "
+                "construction); split_table_columns also spreads a hot table"
             )
     if not fits and cfg.table_dtype == "float32":
         notes.append("tables are fp32: bfloat16 halves, int8 quarters, take bytes")

@@ -114,16 +114,11 @@ class ShardedFleetRec:
             k += c.num_tables
 
         if layout.take_groups:
+            from ..models.embedding import take_phys_sub
+
             n_take = layout.n_take
             tidx = jax.lax.slice_in_dim(indices, k, k + n_take, axis=1)
-            bases, ss = [], []
-            for g in layout.take_groups:
-                bases.extend(g.base_phys)
-                ss.extend([g.rows_per_phys] * g.num_tables)
-            base = jnp.asarray(bases, dtype=jnp.int32)
-            s_arr = jnp.asarray(ss, dtype=jnp.int32)
-            phys = base[None, :] + (tidx // s_arr[None, :]).astype(jnp.int32)
-            sub = (tidx % s_arr[None, :]).astype(jnp.int32)
+            phys, sub = take_phys_sub(layout, tidx)
 
             take_local = params["tables"].take_buffer  # [rows_local, lanes]
             rows_local = take_local.shape[0]

@@ -27,9 +27,10 @@ def test_plan_criteo_fits_at_16_not_at_1():
     assert not p1.fits and p16.fits
     assert 1 < p16.min_model_shards <= 16
     assert p16.take_bytes_per_chip * 16 == p16.take_bytes_total
-    # load fractions sum to ~1 and every shard serves traffic
+    # load fractions sum to ~1 (stripe-span ceil rounding overestimates a
+    # few tenths of a percent) and every shard serves traffic
     loads = [s.uniform_load_frac for s in p16.shards]
-    assert abs(sum(loads) - 1.0) < 1e-3
+    assert abs(sum(loads) - 1.0) < 5e-3
     assert min(loads) > 0
 
 
@@ -99,6 +100,48 @@ def test_column_split_sharded_forward():
     si, sd = sh.shard_batch(jnp.asarray(idx[:, imap]), jnp.asarray(dense))
     out = np.asarray(sh.forward(sp, si, sd))
     np.testing.assert_allclose(out, golden, rtol=1e-5, atol=1e-5)
+
+
+def test_striped_layout_exact_and_balanced():
+    """take_stripes=4: (a) single-device lookup is bit-identical to the
+    contiguous layout, (b) sharded forward matches the oracle, (c) the
+    planner reports flat per-shard gather load where the contiguous layout
+    is imbalanced."""
+    cfg0 = C.micro_test(batch_size=16, rows=512)
+    cfg = dataclasses.replace(cfg0, take_stripes=4)
+    tables = ref.init_tables(cfg0, scheme="uniform")
+    ws = ref.init_mlp_weights(cfg0, scheme="uniform")
+    rng = np.random.default_rng(2)
+    idx = np.stack([rng.integers(0, t.rows, 16) for t in cfg0.tables], 1).astype(np.int32)
+    dense = rng.uniform(-1, 1, (16, cfg0.dense_dim)).astype(np.float32)
+
+    m0, p0 = init_model(cfg0, tables_np=tables, mlp_np=ws)
+    m1, p1 = init_model(cfg, tables_np=tables, mlp_np=ws)
+    want = np.asarray(jax.jit(m0.forward)(p0, jnp.asarray(idx), jnp.asarray(dense)))
+    got = np.asarray(jax.jit(m1.forward)(p1, jnp.asarray(idx), jnp.asarray(dense)))
+    np.testing.assert_array_equal(got, want)
+
+    mesh = make_mesh(data=2, model=4)
+    sh = ShardedFleetRec(m1, mesh)
+    sp = sh.shard_params(p1)
+    si, sd = sh.shard_batch(jnp.asarray(idx), jnp.asarray(dense))
+    out = np.asarray(sh.forward(sp, si, sd))
+    golden = ref.forward(cfg0, tables, ws, idx, dense)
+    np.testing.assert_allclose(out, golden, rtol=1e-5, atol=1e-5)
+
+
+def test_striped_criteo_balances_plan():
+    cfg = C.criteo_terabyte()  # take_stripes=16 default
+    p = plan(cfg, n_model=16)
+    loads = [s.uniform_load_frac for s in p.shards]
+    assert max(loads) / (sum(loads) / len(loads)) < 1.05
+    # every shard touches every take table
+    n_take_tables = sum(1 for t in cfg.tables if t.rows > cfg.onehot_max)
+    assert all(len(s.tables_touched) == n_take_tables for s in p.shards)
+    # contiguous layout for comparison: imbalanced
+    p0 = plan(dataclasses.replace(cfg, take_stripes=1), n_model=16)
+    l0 = [s.uniform_load_frac for s in p0.shards]
+    assert max(l0) / (sum(l0) / len(l0)) > 2.0
 
 
 def test_split_rejects_bad_parts():
