@@ -341,7 +341,7 @@ def cmd_icibench(args):
     from .parallel import make_mesh
 
     n = len(jax.devices())
-    model_ax = args.model_axis or n // args.data
+    model_ax = args.model_axis or max(n // args.data, 1)
     mesh = make_mesh(data=args.data, model=model_ax)
     print(json.dumps(ici_bench(mesh, mbytes=args.mbytes, iters=args.iters)))
 
