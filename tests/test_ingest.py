@@ -103,6 +103,45 @@ def test_engine_feature_mode_end_to_end():
         np.testing.assert_array_equal(scores, np.full(B, 68719476736.0, np.float32))
 
 
+def test_engine_feature_mode_three_sender_model3_wire():
+    """The reference's exact 3-node wire (constant.h:25-27): CPU node ships
+    64 floats/query, two FPGA nodes 1952 each, assembled at fixed offsets
+    and scored by the MLP tower; all-ones input must hit the closed-form
+    constant for width 3968 (3968*1024... computed by the oracle)."""
+    import fleetrec_tpu as fr
+    from fleetrec_tpu import reference as ref
+    from fleetrec_tpu.models import init_model
+    from fleetrec_tpu.serving import ServingEngine
+
+    B = 4
+    widths = [64, 1952, 1952]
+    F = sum(widths)
+    cfg = fr.config.parity_synthetic(F, batch_size=B)
+    model, params = init_model(cfg)
+    eng = ServingEngine.mlp_only(model, params, batch_size=B)
+
+    # NOTE: slot layout is per-sender contiguous [B*64 | B*1952 | B*1952],
+    # i.e. each node's block is a [B, w] matrix — the feature vector is the
+    # horizontal concat, which for all-ones equals all-ones [B, F].
+    nbytes = [B * w * 4 for w in widths]
+    outs = {}
+    with IngestServer(nbytes, n_slots=2, port_base=PORT + 40) as ing:
+        lgs = [
+            Loadgen("127.0.0.1", PORT + 40 + s, [nbytes[s]], n_batches=3, fill=1.0)
+            for s in range(3)
+        ]
+        for lg in lgs:
+            lg.threads[0].start()
+        summary = eng.run_from_ingest(
+            ing, 3, mode="feature", feature_dim=F,
+            on_done=lambda bid, s: outs.__setitem__(bid, s),
+        )
+    assert summary["batches"] == 3
+    want = ref.closed_form_all_ones_score(F)
+    for scores in outs.values():
+        np.testing.assert_array_equal(scores, np.full(B, want, np.float32))
+
+
 def test_engine_background_drain():
     """Background-drain mode: readbacks happen on the drain thread, order
     and per-batch results identical to synchronous mode; close() is clean."""

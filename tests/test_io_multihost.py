@@ -116,6 +116,44 @@ def test_sharded_serving_engine():
     np.testing.assert_allclose(outs[0], golden, rtol=1e-4, atol=1e-3)
 
 
+def test_orbax_sharded_roundtrip(tmp_path):
+    """Save params placed on a (2,4) mesh, restore onto the same shardings
+    — the multi-host checkpoint path (orbax handles per-shard layout)."""
+    import os
+
+    cfg = C.micro_test(batch_size=8, rows=512)
+    tables = ref.init_tables(cfg, scheme="uniform")
+    ws = ref.init_mlp_weights(cfg, scheme="uniform")
+    model, params = init_model(cfg, tables_np=tables, mlp_np=ws)
+    mesh = make_mesh(data=2, model=4)
+    sh = ShardedFleetRec(model, mesh)
+    sp = sh.shard_params(params)
+
+    path = os.path.join(tmp_path, "orbax_sharded")
+    fio.save_orbax(path, sp, cfg=cfg)
+    restored = fio.load_orbax(path, model, sp)
+
+    idx, dense = _inputs(cfg, 8)
+    si, sd = sh.shard_batch(jnp.asarray(idx), jnp.asarray(dense))
+    want = np.asarray(sh.forward(sp, si, sd))
+    got = np.asarray(sh.forward(restored, si, sd))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ingest_timeout_raises():
+    """No senders connected: run_from_ingest must fail fast with a clear
+    timeout, not wedge (the reference blocks forever in accept())."""
+    import pytest as _pytest
+
+    from fleetrec_tpu.serving import IngestServer, ServingEngine
+
+    eng = ServingEngine(lambda i, d: i, num_tables=0, dense_dim=0, batch_size=4)
+    with IngestServer([64], n_slots=2, port_base=27999) as ing:
+        with _pytest.raises(TimeoutError):
+            eng.run_from_ingest(ing, 1, mode="feature", feature_dim=4,
+                                timeout_ms=200)
+
+
 def test_multihost_helpers_single_process():
     from fleetrec_tpu.parallel.multihost import global_mesh, host_local_batch_to_global
 
