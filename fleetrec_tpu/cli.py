@@ -76,6 +76,7 @@ def cmd_serve(args):
         summary = eng.run_from_ingest(
             ing, args.batches, mode="index",
             row_limits=[t.rows for t in cfg.tables],
+            reply_to=0 if args.reply else None,
         )
         eng.close()
         print(json.dumps(summary))
@@ -104,6 +105,23 @@ def cmd_loadgen(args):
         return rng.integers(0, rows, B)
 
     sock = socket.create_connection((args.ip, args.port), timeout=30)
+    reader = None
+    scores_read = [0]
+    if args.read_scores:
+        import threading
+
+        def _read():
+            want = args.batches * B * 4
+            got = 0
+            while got < want:
+                chunk = sock.recv(min(1 << 16, want - got))
+                if not chunk:
+                    break
+                got += len(chunk)
+            scores_read[0] = got // 4
+
+        reader = threading.Thread(target=_read, daemon=True)
+        reader.start()
     t0 = time.time()
     for b in range(args.batches):
         idx = np.stack([draw(t.rows) for t in cfg.tables], 1).astype(np.int32)
@@ -111,10 +129,15 @@ def cmd_loadgen(args):
         if cfg.dense_dim:
             payload += rng.uniform(-1, 1, (B, cfg.dense_dim)).astype(np.float32).tobytes()
         sock.sendall(payload)
+    if reader is not None:
+        reader.join(timeout=60)
     sock.close()
     dt = time.time() - t0
-    print(f"sent {args.batches} x {B} queries in {dt:.2f}s "
-          f"({args.batches * B / dt:.0f} q/s)")
+    msg = (f"sent {args.batches} x {B} queries in {dt:.2f}s "
+           f"({args.batches * B / dt:.0f} q/s)")
+    if args.read_scores:
+        msg += f"; scores received: {scores_read[0]}"
+    print(msg)
 
 
 def cmd_bench(args):
@@ -381,6 +404,9 @@ def main(argv=None):
     s.add_argument("--bg-drain", action="store_true",
                    help="readbacks on a background thread (overlaps the next "
                    "batch's ingest copy with the previous readback)")
+    s.add_argument("--reply", action="store_true",
+                   help="stream fp32 scores back to sender 0 after each "
+                   "batch (client must read them)")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("loadgen", parents=[common])
@@ -389,6 +415,9 @@ def main(argv=None):
     s.add_argument("--batches", type=int, default=100)
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--dist", default="uniform", choices=["uniform", "zipf"])
+    s.add_argument("--read-scores", action="store_true",
+                   help="read the fp32 scores the server streams back "
+                   "(pair with serve --reply)")
     s.set_defaults(fn=cmd_loadgen)
 
     s = sub.add_parser("bench", parents=[common])

@@ -29,6 +29,7 @@
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <mutex>
 #include <thread>
 #include <vector>
@@ -71,6 +72,11 @@ struct Ingest {
   // Per-sender receive thread writes batch b into slot b % n_slots.
   std::vector<std::thread> threads;
   std::vector<int> listen_fds;
+  // Live connection fd per sender (-1 when disconnected): the scores
+  // egress channel — TCP is full-duplex, so replies ride the same
+  // connection the sender streams on (the reference only sends a single
+  // end-of-run ack, cuda_server.c; per-batch replies close the loop).
+  std::unique_ptr<std::atomic<int>[]> live_fds;
   std::atomic<bool> stop{false};
   std::atomic<int64_t> total_batches{0};
   std::atomic<int64_t> bytes_received{0};
@@ -124,7 +130,9 @@ void sender_thread(Ingest* ing, int sender, int listen_fd) {
     }
     int one = 1;
     setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+    ing->live_fds[sender].store(fd, std::memory_order_release);
     bool conn_ok = run_connection(ing, sender, fd, nbytes, off, &batch);
+    ing->live_fds[sender].store(-1, std::memory_order_release);
     ::close(fd);
     if (!conn_ok) return;  // stop requested
   }
@@ -193,7 +201,31 @@ void* ing_create(int n_senders, const int64_t* bytes_per_sender, int n_slots,
   ing->ring.resize((size_t)n_slots * off);
   ing->slots = std::vector<SlotState>(n_slots);
   for (int s = 0; s < n_slots; ++s) ing->slots[s].batch_id.store(s);
+  ing->live_fds = std::make_unique<std::atomic<int>[]>(n_senders);
+  for (int s = 0; s < n_senders; ++s) ing->live_fds[s].store(-1);
   return ing;
+}
+
+// Send n bytes back to sender's live connection (scores egress). Returns
+// 0, -ENOTCONN if the sender is disconnected, or -errno on send failure.
+// Caller must ensure the client actually reads replies, or its socket
+// buffer eventually fills and this blocks.
+int ing_reply(void* h, int sender, const void* buf, int64_t n) {
+  auto* ing = (Ingest*)h;
+  if (sender < 0 || sender >= ing->n_senders) return -EINVAL;
+  int fd = ing->live_fds[sender].load(std::memory_order_acquire);
+  if (fd < 0) return -ENOTCONN;
+  const char* p = (const char*)buf;
+  size_t sent = 0;
+  while (sent < (size_t)n) {
+    ssize_t r = ::send(fd, p + sent, (size_t)n - sent, MSG_NOSIGNAL);
+    if (r < 0) {
+      if (errno == EINTR) continue;
+      return -errno;
+    }
+    sent += (size_t)r;
+  }
+  return 0;
 }
 
 // Bind+listen all ports. Returns 0 or -errno.

@@ -236,15 +236,28 @@ class ServingEngine:
                         feature_dim: Optional[int] = None,
                         on_done: Optional[Callable] = None,
                         timeout_ms: int = 20_000,
-                        row_limits: Optional[Sequence[int]] = None) -> dict:
+                        row_limits: Optional[Sequence[int]] = None,
+                        reply_to: Optional[int] = None) -> dict:
         """Consume n_batches from an IngestServer and score them.
 
         feature mode: slot floats are [B, feature_dim].
         index mode: slot floats are bit-cast int32 [B, num_tables] indices
         followed by [B, dense_dim] floats (senders transmit indices as the
         raw bytes of int32 — fixed offsets, like constant.h's layout).
+
+        reply_to: sender index to stream the fp32 scores back to after each
+        batch (the egress half the reference lacks — its server only prints
+        the first 5 outputs and sends one end-of-run ack). The client must
+        read replies or TCP backpressure stalls the drain.
         """
         B = self.batch_size
+        if reply_to is not None:
+            user_on_done = on_done
+
+            def on_done(bid, scores, _u=user_on_done):
+                ingest.reply(reply_to, np.asarray(scores, dtype=np.float32))
+                if _u is not None:
+                    _u(bid, scores)
         for i in range(n_batches):
             got = ingest.acquire(timeout_ms)
             if got is None:

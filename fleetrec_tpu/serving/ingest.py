@@ -50,6 +50,9 @@ def _load():
         lib.ing_slot_complete_ns.restype = ctypes.c_int64
         lib.ing_slot_complete_ns.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.ing_release.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.ing_reply.restype = ctypes.c_int
+        lib.ing_reply.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                  ctypes.c_void_p, ctypes.c_int64]
         lib.ing_total_batches.restype = ctypes.c_int64
         lib.ing_total_batches.argtypes = [ctypes.c_void_p]
         lib.ing_bytes_received.restype = ctypes.c_int64
@@ -103,6 +106,17 @@ class IngestServer:
 
     def release(self, slot: int):
         self._lib.ing_release(self._h, slot)
+
+    def reply(self, sender: int, arr: np.ndarray) -> None:
+        """Send bytes back on sender's live connection (scores egress —
+        TCP is full-duplex). Raises if the sender is disconnected or the
+        send fails; the client MUST read replies or backpressure stalls."""
+        arr = np.ascontiguousarray(arr)
+        rc = self._lib.ing_reply(
+            self._h, sender, arr.ctypes.data_as(ctypes.c_void_p), arr.nbytes
+        )
+        if rc != 0:
+            raise OSError(-rc, f"ingest reply failed: {os.strerror(-rc)}")
 
     @property
     def total_batches(self) -> int:

@@ -236,6 +236,61 @@ def test_engine_index_validation():
         eng.validate_indices(idx, [t.rows for t in cfg.tables])
 
 
+def test_reply_channel_scores_roundtrip():
+    """Full duplex serving: client streams index batches, server streams
+    fp32 scores back on the same connection (reply_to=0); values match the
+    oracle per batch, in order."""
+    import socket
+
+    import fleetrec_tpu as fr
+    from fleetrec_tpu import reference as ref
+    from fleetrec_tpu.models import init_model
+    from fleetrec_tpu.serving import ServingEngine
+
+    cfg = fr.get_config("micro_test", batch_size=8)
+    B, NB = 8, 5
+    tables = ref.init_tables(cfg, scheme="rowid")
+    ws = ref.init_mlp_weights(cfg, scheme="uniform")
+    model, params = init_model(cfg, tables_np=tables, mlp_np=ws)
+    eng = ServingEngine.from_model(model, params, batch_size=B)
+
+    rng = np.random.default_rng(7)
+    batches = []
+    for _ in range(NB):
+        idx = np.stack([rng.integers(0, t.rows, B) for t in cfg.tables], 1).astype(np.int32)
+        dense = rng.uniform(-1, 1, (B, cfg.dense_dim)).astype(np.float32)
+        batches.append((idx, dense))
+
+    nbytes = B * (cfg.num_tables * 4 + cfg.dense_dim * 4)
+    got_scores = []
+    with IngestServer([nbytes], n_slots=4, port_base=PORT + 50) as ing:
+        def client():
+            s = socket.create_connection(("127.0.0.1", PORT + 50), timeout=10)
+            for idx, dense in batches:
+                s.sendall(idx.tobytes() + dense.tobytes())
+            want = NB * B * 4
+            buf = b""
+            while len(buf) < want:
+                chunk = s.recv(want - len(buf))
+                if not chunk:
+                    break
+                buf += chunk
+            s.close()
+            got_scores.append(np.frombuffer(buf, np.float32))
+
+        import threading
+        t = threading.Thread(target=client, daemon=True)
+        t.start()
+        eng.run_from_ingest(ing, NB, mode="index", reply_to=0)
+        t.join(10)
+
+    assert got_scores and got_scores[0].shape == (NB * B,)
+    for b, (idx, dense) in enumerate(batches):
+        golden = ref.forward(cfg, tables, ws, idx, dense).astype(np.float32)
+        np.testing.assert_allclose(got_scores[0][b * B:(b + 1) * B], golden,
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_sender_reconnect_resumes_batch():
     """A sender that dies mid-batch is replaced: the new connection refills
     the in-flight batch and the stream continues (the reference printf+exits
