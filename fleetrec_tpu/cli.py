@@ -19,10 +19,10 @@ import time
 import numpy as np
 
 
-def _build(args, reduce_rows=None):
+def _make_cfg(args, reduce_rows=None):
+    """Config construction shared by every command (flags: --max-rows,
+    --take-lanes, --onehot-max, --take-stripes, --dtype)."""
     from . import config as C
-    from . import reference as ref
-    from .models import init_model
 
     cfg = C.get_config(args.config, batch_size=args.batch)
     if reduce_rows or args.max_rows:
@@ -42,6 +42,14 @@ def _build(args, reduce_rows=None):
             cfg = dataclasses.replace(cfg, table_dtype="int8")
         else:
             cfg = dataclasses.replace(cfg, dtype=args.dtype, table_dtype=args.dtype)
+    return cfg
+
+
+def _build(args, reduce_rows=None):
+    from . import reference as ref
+    from .models import init_model
+
+    cfg = _make_cfg(args, reduce_rows)
     if getattr(args, "ckpt", ""):
         from . import io as fio
         from .models import FleetRecModel
@@ -337,17 +345,9 @@ def cmd_plan(args):
     """Placement plan: per-chip byte accounting + shard load balance for a
     config on an n_model-way mesh (the analog of the reference's
     config_sp_*.txt bank-pinning files, computed instead of hand-written)."""
-    from . import config as C
     from .parallel import plan
 
-    cfg = C.get_config(args.config, batch_size=args.batch)
-    if args.max_rows:
-        cfg = dataclasses.replace(
-            cfg,
-            tables=tuple(dataclasses.replace(t, rows=min(t.rows, args.max_rows)) for t in cfg.tables),
-        )
-    if args.dtype:
-        cfg = dataclasses.replace(cfg, table_dtype=args.dtype)
+    cfg = _make_cfg(args)
     p = plan(cfg, n_model=args.model_axis,
              hbm_budget_bytes=args.hbm_gb << 30, batch_size=args.batch)
     out = p.to_json()

@@ -38,6 +38,11 @@ def config_fingerprint(cfg) -> str:
         "dtype": cfg.dtype,
         "table_dtype": cfg.table_dtype,
         "take_lanes": cfg.take_lanes,
+        # both change the packed-buffer layout (onehot/take split; striped
+        # vs contiguous row placement) without necessarily changing buffer
+        # SHAPES — a load across them would silently gather wrong rows
+        "onehot_max": cfg.onehot_max,
+        "take_stripes": cfg.take_stripes,
     }
     data = json.dumps(blob, sort_keys=True, separators=(",", ":")).encode()
     return hashlib.sha256(data).hexdigest()
@@ -107,16 +112,26 @@ def load_npz(path: str, model) -> dict:
     return {"tables": tables, "mlp": mlp}
 
 
-def save_orbax(path: str, params, cfg=None) -> None:
-    import orbax.checkpoint as ocp
-
-    ckptr = ocp.StandardCheckpointer()
+def _orbax_tree(params) -> dict:
+    """Orbax tree for a params pytree; includes the int8 dequant scales
+    (dropping them would silently restore un-dequantized tables)."""
     tables = params["tables"]
     tree = {
         "onehot": list(tables.onehot_buffers),
         "take": tables.take_buffer,
         "mlp": list(params["mlp"]),
     }
+    if tables.onehot_scales is not None:
+        tree["onehot_scales"] = list(tables.onehot_scales)
+        tree["take_scales"] = tables.take_scales
+    return tree
+
+
+def save_orbax(path: str, params, cfg=None) -> None:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    tree = _orbax_tree(params)
     path = os.path.abspath(path)
     ckptr.save(path, tree)
     ckptr.wait_until_finished()
@@ -136,15 +151,14 @@ def load_orbax(path: str, model, like_params) -> dict:
         with open(meta_path) as f:
             _check_fingerprint(json.load(f)["fingerprint"], model, path)
 
-    tables = like_params["tables"]
-    tpl = {
-        "onehot": list(tables.onehot_buffers),
-        "take": tables.take_buffer,
-        "mlp": list(like_params["mlp"]),
-    }
+    tpl = _orbax_tree(like_params)
     ckptr = ocp.StandardCheckpointer()
     tree = ckptr.restore(os.path.abspath(path), tpl)
     out_tables = PackedTables(
-        layout=model.layout, onehot_buffers=list(tree["onehot"]), take_buffer=tree["take"]
+        layout=model.layout,
+        onehot_buffers=list(tree["onehot"]),
+        take_buffer=tree["take"],
+        onehot_scales=list(tree["onehot_scales"]) if "onehot_scales" in tree else None,
+        take_scales=tree.get("take_scales"),
     )
     return {"tables": out_tables, "mlp": list(tree["mlp"])}

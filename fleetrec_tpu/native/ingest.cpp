@@ -76,7 +76,12 @@ struct Ingest {
   // egress channel — TCP is full-duplex, so replies ride the same
   // connection the sender streams on (the reference only sends a single
   // end-of-run ack, cuda_server.c; per-batch replies close the loop).
+  // reply_mus[s] serializes ing_reply with the sender thread's close():
+  // without it a reply could send on an fd the kernel has already closed
+  // and RE-ISSUED to the replacement connection, injecting score bytes
+  // into the wrong stream.
   std::unique_ptr<std::atomic<int>[]> live_fds;
+  std::unique_ptr<std::mutex[]> reply_mus;
   std::atomic<bool> stop{false};
   std::atomic<int64_t> total_batches{0};
   std::atomic<int64_t> bytes_received{0};
@@ -132,8 +137,13 @@ void sender_thread(Ingest* ing, int sender, int listen_fd) {
     setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
     ing->live_fds[sender].store(fd, std::memory_order_release);
     bool conn_ok = run_connection(ing, sender, fd, nbytes, off, &batch);
-    ing->live_fds[sender].store(-1, std::memory_order_release);
-    ::close(fd);
+    {
+      // Serialize with in-flight ing_reply before the fd number can be
+      // reused by the next accept().
+      std::lock_guard<std::mutex> lk(ing->reply_mus[sender]);
+      ing->live_fds[sender].store(-1, std::memory_order_release);
+      ::close(fd);
+    }
     if (!conn_ok) return;  // stop requested
   }
 }
@@ -203,16 +213,19 @@ void* ing_create(int n_senders, const int64_t* bytes_per_sender, int n_slots,
   for (int s = 0; s < n_slots; ++s) ing->slots[s].batch_id.store(s);
   ing->live_fds = std::make_unique<std::atomic<int>[]>(n_senders);
   for (int s = 0; s < n_senders; ++s) ing->live_fds[s].store(-1);
+  ing->reply_mus = std::make_unique<std::mutex[]>(n_senders);
   return ing;
 }
 
 // Send n bytes back to sender's live connection (scores egress). Returns
 // 0, -ENOTCONN if the sender is disconnected, or -errno on send failure.
 // Caller must ensure the client actually reads replies, or its socket
-// buffer eventually fills and this blocks.
+// buffer eventually fills and this blocks. Holds the sender's reply mutex
+// for the whole send so the fd cannot be closed/reused underneath it.
 int ing_reply(void* h, int sender, const void* buf, int64_t n) {
   auto* ing = (Ingest*)h;
   if (sender < 0 || sender >= ing->n_senders) return -EINVAL;
+  std::lock_guard<std::mutex> lk(ing->reply_mus[sender]);
   int fd = ing->live_fds[sender].load(std::memory_order_acquire);
   if (fd < 0) return -ENOTCONN;
   const char* p = (const char*)buf;

@@ -78,6 +78,9 @@ def gather_rows(
     """
     N = phys_idx.shape[0]
     L = table.shape[1]
+    # window > chunk would warm-start DMAs past the block (reading idx out
+    # of bounds) and leave them never waited on, corrupting the slot pairing
+    window = max(1, min(window, chunk))
     n_pad = -N % chunk
     idx = jnp.pad(phys_idx.astype(jnp.int32), (0, n_pad))
     total = N + n_pad

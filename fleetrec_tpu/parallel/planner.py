@@ -38,6 +38,10 @@ from ..models.embedding import build_layout
 _ITEMSIZE = {"float32": 4, "bfloat16": 2, "float16": 2, "int8": 1}
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 @dataclasses.dataclass(frozen=True)
 class ShardReport:
     """One model-axis shard's slice of the unified take buffer."""
@@ -99,10 +103,14 @@ def plan(
     isz = _ITEMSIZE[cfg.table_dtype]
 
     # one-hot class buffers are [n, rows_pad, dim]; on TPU the minor dim
-    # physically pads to 128 lanes, so HBM cost is 128/dim x the logical
-    # bytes — THE tradeoff autotuning the one-hot threshold buys speed with
+    # physically pads to 128 lanes and the second-minor to the dtype's
+    # sublane tile (8 rows f32, 16 bf16, 32 int8), so HBM cost is 128/dim x
+    # the logical bytes — THE tradeoff autotuning the one-hot threshold
+    # buys speed with
+    sublane = {4: 8, 2: 16, 1: 32}[isz]
     onehot_bytes = sum(
-        c.num_tables * c.rows_pad * LANES * isz for c in layout.onehot_classes
+        c.num_tables * _round_up(c.rows_pad, sublane) * LANES * isz
+        for c in layout.onehot_classes
     )
     mlp_isz = _ITEMSIZE[cfg.dtype]
     w = cfg.mlp.widths
@@ -170,7 +178,10 @@ def plan(
     else:
         # rows_per_shard * lanes * isz <= avail
         max_rows_per_shard = avail // (layout.take_lanes * isz)
-        min_shards = int(-(-phys_total // max(max_rows_per_shard, 1)))
+        # not even one take row fits next to the replicated parts: no
+        # shard count helps
+        min_shards = (int(-(-phys_total // max_rows_per_shard))
+                      if max_rows_per_shard > 0 else 0)
 
     notes = []
     if layout.take_phys_total:

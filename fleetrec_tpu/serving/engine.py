@@ -99,6 +99,7 @@ class ServingEngine:
         # (measure_.../cuda_server.c:119-240). Window flow control moves to
         # a semaphore. on_done callbacks then fire on the drain thread.
         self._drain_thread: Optional[threading.Thread] = None
+        self._drain_error: Optional[BaseException] = None
         if background_drain:
             self._sem = threading.Semaphore(max_in_flight)
             self._drain_thread = threading.Thread(
@@ -182,10 +183,18 @@ class ServingEngine:
         """Dispatch one batch; blocks only when the in-flight window is full
         (synchronous mode drains inline; background mode waits on the
         semaphore while the drain thread reads back)."""
+        self._check_drain_error()
         if self._drain_thread is not None:
             self._sem.acquire()
-        t_submit = time.time()
-        scores = self.score_fn(inputs_np, dense_np)
+            try:
+                t_submit = time.time()
+                scores = self.score_fn(inputs_np, dense_np)
+            except BaseException:
+                self._sem.release()  # a lost permit shrinks the window forever
+                raise
+        else:
+            t_submit = time.time()
+            scores = self.score_fn(inputs_np, dense_np)
         rec = BatchRecord(self._batch_id, t_first_byte_ns, t_complete_ns,
                           t_submit, 0.0)
         self._batch_id += 1
@@ -209,10 +218,24 @@ class ServingEngine:
             try:
                 if item is None:
                     return
-                self._drain_one(item)
+                try:
+                    self._drain_one(item)
+                except BaseException as e:  # noqa: BLE001
+                    # Record and keep draining: a failing readback/on_done
+                    # (e.g. reply to a disconnected client) must not kill
+                    # the thread — that would deadlock submit()/drain() on
+                    # the semaphore/join. First error re-raises on the next
+                    # submit/drain/close call.
+                    if self._drain_error is None:
+                        self._drain_error = e
                 self._sem.release()
             finally:
                 self._in_flight.task_done()
+
+    def _check_drain_error(self):
+        if self._drain_error is not None:
+            e, self._drain_error = self._drain_error, None
+            raise e
 
     def drain(self):
         """Wait for every in-flight batch, return the latency summary."""
@@ -221,6 +244,7 @@ class ServingEngine:
         else:
             while not self._in_flight.empty():
                 self._drain_one()
+        self._check_drain_error()
         return self.stats.summary()
 
     def close(self):
@@ -230,6 +254,7 @@ class ServingEngine:
             self._in_flight.put(None)
             self._drain_thread.join()
             self._drain_thread = None
+            self._check_drain_error()
 
     # -- ingest loop -----------------------------------------------------
     def run_from_ingest(self, ingest, n_batches: int, mode: str = "feature",

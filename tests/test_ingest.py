@@ -175,6 +175,40 @@ def test_engine_background_drain():
         np.testing.assert_allclose(outs[b], goldens[b], rtol=1e-5, atol=1e-5)
 
 
+def test_engine_background_drain_survives_on_done_error():
+    """A failing on_done (e.g. reply to a dead client) must not kill the
+    drain thread — later batches still drain, and the error surfaces on
+    drain() instead of deadlocking submit()."""
+    import fleetrec_tpu as fr
+    from fleetrec_tpu.models import init_model
+    from fleetrec_tpu.serving import ServingEngine
+
+    cfg = fr.get_config("micro_test", batch_size=4)
+    model, params = init_model(cfg, table_scheme="rowid", mlp_scheme="uniform")
+    eng = ServingEngine.from_model(model, params, batch_size=4,
+                                   max_in_flight=1, background_drain=True)
+    rng = np.random.default_rng(0)
+
+    def boom(bid, scores):
+        raise OSError("client gone")
+
+    done = []
+    for b in range(6):  # > max_in_flight: would deadlock pre-fix
+        idx = np.stack([rng.integers(0, t.rows, 4) for t in cfg.tables], 1).astype(np.int32)
+        dense = rng.uniform(-1, 1, (4, cfg.dense_dim)).astype(np.float32)
+        try:
+            eng.submit(idx, dense,
+                       on_done=boom if b == 0 else lambda i, s: done.append(i))
+        except OSError:
+            pass  # first error may surface on a later submit
+    with pytest.raises(OSError):
+        eng.drain()
+        eng.close()
+        raise OSError("already surfaced")  # error must appear at one of these
+    eng.close()
+    assert len(done) >= 4  # later batches drained despite the poison one
+
+
 def test_engine_index_mode_end_to_end():
     """Index-mode wire: senders ship int32 row-ids (+ dense floats); the
     engine runs the FULL fused pipeline and matches the oracle."""

@@ -116,6 +116,26 @@ def test_sharded_serving_engine():
     np.testing.assert_allclose(outs[0], golden, rtol=1e-4, atol=1e-3)
 
 
+def test_orbax_int8_scales_roundtrip(tmp_path):
+    """int8-quantized params carry dequant scales; orbax must preserve
+    them (dropping them restores un-dequantized tables)."""
+    import os
+
+    cfg = dataclasses.replace(C.micro_test(batch_size=8), table_dtype="int8")
+    tables = ref.init_tables(cfg, scheme="pm1")
+    ws = ref.init_mlp_weights(cfg, scheme="uniform")
+    model, params = init_model(cfg, tables_np=tables, mlp_np=ws)
+    idx, dense = _inputs(cfg, 8)
+    want = np.asarray(jax.jit(model.forward)(params, jnp.asarray(idx), jnp.asarray(dense)))
+
+    path = os.path.join(tmp_path, "orbax_int8")
+    fio.save_orbax(path, params, cfg=cfg)
+    restored = fio.load_orbax(path, model, params)
+    assert restored["tables"].onehot_scales is not None
+    got = np.asarray(jax.jit(model.forward)(restored, jnp.asarray(idx), jnp.asarray(dense)))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_orbax_sharded_roundtrip(tmp_path):
     """Save params placed on a (2,4) mesh, restore onto the same shardings
     — the multi-host checkpoint path (orbax handles per-shard layout)."""
