@@ -124,10 +124,27 @@ class ModelConfig:
     # bandwidth-bound). Must be a multiple of 128; sub-128 widths measured
     # slower end-to-end (vector relayouts).
     take_lanes: int = 128
+    # Feature-interaction stage between the embeddings and the top MLP.
+    # "none" = the reference architecture (plain concat -> MLP).  "dot" =
+    # DLRM pairwise dot interaction: all tables share one dim D, the
+    # bottom_mlp maps the dense slice to D, and the top MLP consumes
+    # [bottom_out | pairwise dots of the (T+1) vectors].
+    interaction: str = "none"
+    bottom_mlp: Optional[MLPSpec] = None
+    # MXU matmul precision for the MLP/interaction stages.  None = platform
+    # default (TPU feeds the MXU bf16-truncated fp32 operands — bit-exact
+    # for the reference parity data by structure, and the serving default);
+    # "highest" pins full-fp32 operands, needed for bit-exact parity when
+    # activations carry >8-bit mantissas (the DLRM interaction head does).
+    matmul_precision: Optional[str] = None
 
     @property
     def num_tables(self) -> int:
         return len(self.tables)
+
+    @property
+    def n_interaction_vectors(self) -> int:
+        return self.num_tables + (1 if self.bottom_mlp is not None else 0)
 
     @property
     def feature_dim(self) -> int:
@@ -148,6 +165,25 @@ class ModelConfig:
         return h
 
     def validate(self) -> None:
+        if self.interaction == "dot":
+            dims = {t.dim for t in self.tables}
+            assert len(dims) == 1, "dot interaction requires one shared dim"
+            D = dims.pop()
+            offs = sorted(t.out_offset for t in self.tables)
+            assert offs == [D * i for i in range(self.num_tables)], (
+                "dot interaction requires contiguous D-strided offsets"
+            )
+            n = self.n_interaction_vectors
+            want = n * (n - 1) // 2 + (D if self.bottom_mlp is not None else 0)
+            assert self.mlp.input_dim == want, (
+                f"top MLP input {self.mlp.input_dim} != {want} "
+                f"(= pairs + bottom width)"
+            )
+            if self.bottom_mlp is not None:
+                assert self.bottom_mlp.input_dim == self.dense_dim
+                assert self.bottom_mlp.widths[-1] == D
+            return
+        assert self.interaction == "none", self.interaction
         used = np.zeros(self.feature_dim, dtype=bool)
         for t in self.tables:
             seg = used[t.out_offset : t.out_offset + t.dim]
@@ -332,13 +368,78 @@ def criteo_terabyte(batch_size: int = 1024, dtype: str = "bfloat16",
     return cfg
 
 
+def micro_dlrm(batch_size: int = 16, rows: int = 64,
+               onehot_max: int = 2048) -> ModelConfig:
+    """Minimal DLRM dot-interaction config for unit tests: 4 tables x dim 8,
+    6 dense features -> bottom 6-16-8, top 18 (= 8 + C(5,2)) -> 16 -> 8 -> 1.
+    Integer-valued on the parity data, so fp32 is bit-exact vs the float64
+    oracle."""
+    D, T = 8, 4
+    tables = tuple(
+        TableSpec(table_id=i, rows=rows + 8 * i, dim=D, out_offset=D * i)
+        for i in range(T)
+    )
+    pairs = (T + 1) * T // 2
+    cfg = ModelConfig(
+        name="micro_dlrm",
+        tables=tables,
+        mlp=MLPSpec(input_dim=D + pairs, hidden=(16, 8)),
+        dense_dim=6,
+        batch_size=batch_size,
+        onehot_max=onehot_max,
+        interaction="dot",
+        bottom_mlp=MLPSpec(input_dim=6, hidden=(16,), out_dim=D),
+        matmul_precision="highest",
+    )
+    cfg.validate()
+    return cfg
+
+
+def dlrm_terabyte(batch_size: int = 1024, dtype: str = "float32",
+                  take_stripes: int = 16) -> ModelConfig:
+    """MLPerf-style DLRM on the Criteo-1TB cardinalities (beyond-reference
+    model family): 26 tables x dim 128, 13 dense features, bottom MLP
+    13-512-256-128, dot interaction (27 vectors -> 351 pairs), top MLP
+    479-1024-1024-512-256-1.  Full cardinalities are planner-scale
+    (multi-chip row sharding); cap with `--max-rows` for single-chip runs."""
+    cardinalities = [
+        227_605_432, 39_060, 17_295, 7_424, 20_265, 3, 7_122, 1_543, 63,
+        130_229_467, 3_067_956, 405_282, 10, 2_209, 11_938, 155, 4, 976,
+        14, 292_775_614, 40_790_948, 187_188_510, 590_152, 12_973, 108, 36,
+    ]
+    D = 128
+    tables = tuple(
+        TableSpec(table_id=i, rows=r, dim=D, out_offset=D * i)
+        for i, r in enumerate(cardinalities)
+    )
+    n = len(cardinalities) + 1
+    cfg = ModelConfig(
+        name="dlrm_terabyte",
+        tables=tables,
+        mlp=MLPSpec(input_dim=D + n * (n - 1) // 2,
+                    hidden=(1024, 1024, 512, 256), activation="relu"),
+        dense_dim=13,
+        batch_size=batch_size,
+        dtype=dtype,
+        table_dtype=dtype,
+        take_stripes=take_stripes,
+        interaction="dot",
+        bottom_mlp=MLPSpec(input_dim=13, hidden=(512, 256), out_dim=D,
+                           activation="relu"),
+    )
+    cfg.validate()
+    return cfg
+
+
 CONFIGS = {
     "micro_test": micro_test,
+    "micro_dlrm": micro_dlrm,
     "tiny_dlrm": tiny_dlrm,
     "fleetrec_model1": fleetrec_model1,
     "fleetrec_model2": fleetrec_model2,
     "fleetrec_model3": fleetrec_model3,
     "criteo_terabyte": criteo_terabyte,
+    "dlrm_terabyte": dlrm_terabyte,
 }
 
 

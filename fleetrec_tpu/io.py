@@ -44,6 +44,13 @@ def config_fingerprint(cfg) -> str:
         "onehot_max": cfg.onehot_max,
         "take_stripes": cfg.take_stripes,
     }
+    # Interaction configs (DLRM family) carry an extra tower; keyed
+    # conditionally so reference-architecture fingerprints are unchanged.
+    if getattr(cfg, "interaction", "none") != "none":
+        blob["interaction"] = cfg.interaction
+        blob["bottom_mlp"] = (
+            list(cfg.bottom_mlp.widths) if cfg.bottom_mlp is not None else None
+        )
     data = json.dumps(blob, sort_keys=True, separators=(",", ":")).encode()
     return hashlib.sha256(data).hexdigest()
 
@@ -82,6 +89,8 @@ def save_npz(path: str, params, cfg=None) -> None:
             arrs["take_scales"] = np.asarray(tables.take_scales)
     for i, w in enumerate(params["mlp"]):
         arrs[f"mlp_{i}"] = np.asarray(w)
+    for i, w in enumerate(params.get("bottom", [])):
+        arrs[f"bottom_{i}"] = np.asarray(w)
     np.savez(path, **arrs)
 
 
@@ -109,7 +118,12 @@ def load_npz(path: str, model) -> dict:
            for i in range(n_mlp)]
     tables = PackedTables(layout=layout, onehot_buffers=onehot, take_buffer=take,
                           onehot_scales=oh_scales, take_scales=take_scales)
-    return {"tables": tables, "mlp": mlp}
+    out = {"tables": tables, "mlp": mlp}
+    if model.cfg.bottom_mlp is not None:
+        n_b = len(model.cfg.bottom_mlp.widths) - 1
+        out["bottom"] = [jnp.asarray(data[f"bottom_{i}"], dtype=jnp.dtype(model.cfg.dtype))
+                         for i in range(n_b)]
+    return out
 
 
 def _orbax_tree(params) -> dict:
@@ -124,6 +138,8 @@ def _orbax_tree(params) -> dict:
     if tables.onehot_scales is not None:
         tree["onehot_scales"] = list(tables.onehot_scales)
         tree["take_scales"] = tables.take_scales
+    if "bottom" in params:
+        tree["bottom"] = list(params["bottom"])
     return tree
 
 
@@ -161,4 +177,7 @@ def load_orbax(path: str, model, like_params) -> dict:
         onehot_scales=list(tree["onehot_scales"]) if "onehot_scales" in tree else None,
         take_scales=tree.get("take_scales"),
     )
-    return {"tables": out_tables, "mlp": list(tree["mlp"])}
+    out = {"tables": out_tables, "mlp": list(tree["mlp"])}
+    if "bottom" in tree:
+        out["bottom"] = list(tree["bottom"])
+    return out

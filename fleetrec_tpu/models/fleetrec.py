@@ -46,11 +46,23 @@ class FleetRecModel:
         # SLOWER — sub-128-lane intermediates force vector relayouts in the
         # extraction/concat chain.  Multiples of 128 are safe; wider rows
         # fold several physical rows per gather index (cfg.take_lanes).
-        layout = build_layout(
-            cfg.tables, cfg.feature_dim, cfg.dense_dim,
-            onehot_max=cfg.onehot_max, take_lanes=cfg.take_lanes,
-            take_stripes=cfg.take_stripes,
-        )
+        if cfg.interaction == "dot":
+            # DLRM: the "feature vector" produced by the lookup stage is the
+            # plain [T*D] concat in offset order (the interaction head
+            # consumes it as [B, T, D]); the dense slice feeds the bottom
+            # MLP, not the concat.
+            emb_dim = cfg.num_tables * cfg.tables[0].dim
+            layout = build_layout(
+                cfg.tables, emb_dim, 0,
+                onehot_max=cfg.onehot_max, take_lanes=cfg.take_lanes,
+                take_stripes=cfg.take_stripes,
+            )
+        else:
+            layout = build_layout(
+                cfg.tables, cfg.feature_dim, cfg.dense_dim,
+                onehot_max=cfg.onehot_max, take_lanes=cfg.take_lanes,
+                take_stripes=cfg.take_stripes,
+            )
         perm = tuple(int(p) for p in index_columns(layout, [t.table_id for t in cfg.tables]))
         return cls(cfg=cfg, layout=layout, index_perm=perm)
 
@@ -79,12 +91,46 @@ class FleetRecModel:
                 )
         if self.index_perm:
             indices = indices[:, jnp.asarray(self.index_perm, dtype=jnp.int32)]
+        if self.cfg.interaction == "dot":
+            emb = lookup_concat(params["tables"], indices, None)
+            return interaction_head(self.cfg, params, emb, dense)
         feats = lookup_concat(params["tables"], indices, dense)
         dtype = jnp.dtype(self.cfg.dtype)
         scores = mlp_apply(
-            params["mlp"], feats.astype(dtype), activation=self.cfg.mlp.activation
+            params["mlp"], feats.astype(dtype), activation=self.cfg.mlp.activation,
+            precision=self.cfg.matmul_precision,
         )
         return scores[:, 0]
+
+
+def interaction_head(cfg: ModelConfig, params: Dict, emb_flat: jax.Array,
+                     dense: Optional[jax.Array]) -> jax.Array:
+    """DLRM head: [B, T*D] offset-order embeddings (+ dense via the bottom
+    MLP) -> pairwise dot interaction -> top MLP -> scores [B].
+
+    Shared by the single-device forward and the shard_map serving path
+    (parallel/sharded.py applies it after the feature psum)."""
+    from .interaction import dot_interaction
+
+    dtype = jnp.dtype(cfg.dtype)
+    prec = cfg.matmul_precision
+    B = emb_flat.shape[0]
+    D = cfg.tables[0].dim
+    vecs = emb_flat.reshape(B, cfg.num_tables, D).astype(dtype)
+    bottom = None
+    if cfg.bottom_mlp is not None:
+        bottom = mlp_apply(
+            params["bottom"], dense.astype(dtype),
+            activation=cfg.bottom_mlp.activation, out_dtype=dtype,
+            precision=prec,
+        )
+        vecs = jnp.concatenate([bottom[:, None, :], vecs], axis=1)
+    z = dot_interaction(vecs, precision=prec)
+    if bottom is not None:
+        z = jnp.concatenate([bottom, z], axis=1)
+    scores = mlp_apply(params["mlp"], z.astype(dtype), activation=cfg.mlp.activation,
+                       precision=prec)
+    return scores[:, 0]
 
 
 def init_model(
@@ -107,6 +153,11 @@ def init_model(
         mlp = [jnp.asarray(w, dtype=jnp.dtype(cfg.dtype)) for w in mlp_np]
     packed = pack_tables(tables_np, cfg.tables, model.layout, dtype=jnp.dtype(cfg.table_dtype))
     params = {"tables": packed, "mlp": mlp}
+    if cfg.bottom_mlp is not None:
+        params["bottom"] = init_mlp_params(
+            cfg.bottom_mlp, scheme=mlp_scheme, seed=seed + 1,
+            dtype=jnp.dtype(cfg.dtype),
+        )
     return model, params
 
 

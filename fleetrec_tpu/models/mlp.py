@@ -42,11 +42,20 @@ def mlp_apply(
     x: jax.Array,
     activation: Optional[str] = None,
     out_dtype=jnp.float32,
+    precision=None,
 ) -> jax.Array:
     """x: [B, input_dim] -> [B, out_dim].  Accumulates in fp32 on the MXU
-    regardless of storage dtype."""
+    regardless of storage dtype.
+
+    precision: None uses the platform default — on TPU that feeds the MXU
+    bf16-truncated operands, which is still bit-exact for the reference
+    parity data (all-ones weights make each layer a power-of-two scaling
+    of bf16-exact sums) but NOT for general integer-valued activations;
+    pass "highest" to pin full-fp32 operands (docs/DESIGN.md "fp32 matmul
+    precision")."""
     for i, w in enumerate(weights):
-        x = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+        x = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32,
+                    precision=precision)
         if activation == "relu" and i < len(weights) - 1:
             x = jnp.maximum(x, 0.0)
         if i < len(weights) - 1 and x.dtype != w.dtype:

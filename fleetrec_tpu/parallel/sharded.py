@@ -62,7 +62,10 @@ class ShardedFleetRec:
         leaves = oh + ([rowshard] if pt.take_buffer is not None else [])
         tables = jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(pt), leaves)
         mlp = [repl for _ in params["mlp"]]
-        return {"tables": tables, "mlp": mlp}
+        out = {"tables": tables, "mlp": mlp}
+        if "bottom" in params:
+            out["bottom"] = [repl for _ in params["bottom"]]
+        return out
 
     def data_shardings(self):
         return NamedSharding(self.mesh, P("data", None))
@@ -78,7 +81,7 @@ class ShardedFleetRec:
             if pad:
                 take = jnp.pad(take, ((0, pad), (0, 0)))
         tables = dataclasses.replace(tables, take_buffer=take)
-        params = {"tables": tables, "mlp": params["mlp"]}
+        params = {**params, "tables": tables}
         return jax.device_put(params, self.param_shardings(params))
 
     def shard_batch(self, indices, dense=None):
@@ -167,9 +170,17 @@ class ShardedFleetRec:
         # THE exchange: one psum of the extracted [B, F] feature vector.
         feats = jax.lax.psum(feats, "model")
 
+        if model.cfg.interaction == "dot":
+            # DLRM head (bottom MLP + pairwise dots + top MLP) runs on the
+            # psum'd [B, T*D] embeddings, replicated per data-shard.
+            from ..models.fleetrec import interaction_head
+
+            return interaction_head(model.cfg, params, feats, dense)
+
         dtype = jnp.dtype(model.cfg.dtype)
         scores = mlp_apply(params["mlp"], feats.astype(dtype),
-                           activation=model.cfg.mlp.activation)
+                           activation=model.cfg.mlp.activation,
+                           precision=model.cfg.matmul_precision)
         return scores[:, 0]
 
     @cached_property
@@ -189,7 +200,10 @@ class ShardedFleetRec:
                 jax.tree_util.tree_structure(pt), leaves
             )
             mlp = [P(None, None) for _ in params_like["mlp"]]
-            return {"tables": tables, "mlp": mlp}
+            specs = {"tables": tables, "mlp": mlp}
+            if "bottom" in params_like:
+                specs["bottom"] = [P(None, None) for _ in params_like["bottom"]]
+            return specs
 
         local = self._local_forward
 

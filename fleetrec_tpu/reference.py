@@ -104,13 +104,56 @@ def mlp_chain(features: np.ndarray, weights: Sequence[np.ndarray],
     return x
 
 
+def init_bottom_weights(cfg: ModelConfig, scheme: str = "ones", seed: int = 0) -> List[np.ndarray]:
+    """Bottom-MLP weights for dot-interaction configs; seeded to match
+    models.init_model (which uses seed+1 for the bottom tower)."""
+    assert cfg.bottom_mlp is not None
+    ws = []
+    widths = cfg.bottom_mlp.widths
+    for li, (a, b) in enumerate(zip(widths[:-1], widths[1:])):
+        if scheme == "ones":
+            ws.append(np.ones((a, b), dtype=np.float32))
+        elif scheme == "uniform":
+            rng = np.random.default_rng((seed + 1) * 104729 + li)
+            ws.append((rng.uniform(-1.0, 1.0, size=(a, b)) / np.sqrt(a)).astype(np.float32))
+        else:
+            raise ValueError(scheme)
+    return ws
+
+
+def dot_interaction_np(vecs: np.ndarray) -> np.ndarray:
+    """[B, n, D] -> [B, n*(n-1)//2] strict-lower-triangle pairwise dots,
+    row-major (i>j) order — must match models.interaction.dot_interaction."""
+    gram = np.einsum("bnd,bmd->bnm", vecs, vecs)
+    li, lj = np.tril_indices(vecs.shape[1], k=-1)
+    return gram[:, li, lj]
+
+
 def forward(
     cfg: ModelConfig,
     tables: Sequence[np.ndarray],
     weights: Sequence[np.ndarray],
     indices: np.ndarray,
     dense: Optional[np.ndarray] = None,
+    bottom_weights: Optional[Sequence[np.ndarray]] = None,
 ) -> np.ndarray:
+    if cfg.interaction == "dot":
+        B = indices.shape[0]
+        D = cfg.tables[0].dim
+        emb = np.zeros((B, cfg.num_tables, D), dtype=np.float64)
+        order = sorted(range(cfg.num_tables), key=lambda j: cfg.tables[j].out_offset)
+        for pos, j in enumerate(order):
+            emb[:, pos] = tables[j][indices[:, j]]
+        vecs = emb
+        bottom = None
+        if cfg.bottom_mlp is not None:
+            assert bottom_weights is not None and dense is not None
+            bottom = mlp_chain(dense, bottom_weights, cfg.bottom_mlp.activation)
+            vecs = np.concatenate([bottom[:, None, :], emb], axis=1)
+        z = dot_interaction_np(vecs)
+        if bottom is not None:
+            z = np.concatenate([bottom, z], axis=1)
+        return mlp_chain(z, weights, cfg.mlp.activation)[:, 0]
     feats = gather_concat(cfg, tables, indices, dense)
     return mlp_chain(feats, weights, cfg.mlp.activation)[:, 0]
 
