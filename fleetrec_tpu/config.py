@@ -128,9 +128,15 @@ class ModelConfig:
     # "none" = the reference architecture (plain concat -> MLP).  "dot" =
     # DLRM pairwise dot interaction: all tables share one dim D, the
     # bottom_mlp maps the dense slice to D, and the top MLP consumes
-    # [bottom_out | pairwise dots of the (T+1) vectors].
+    # [bottom_out | pairwise dots of the (T+1) vectors].  "cross" = DCNv2
+    # cross network on the concatenated [emb | dense] vector (same feature
+    # layout as "none"); the top MLP consumes the cross output [B, F].
     interaction: str = "none"
     bottom_mlp: Optional[MLPSpec] = None
+    # DCNv2 knobs (interaction="cross"): number of stacked cross layers and
+    # the low-rank factorization width (0 = full-rank [F, F] weights).
+    cross_layers: int = 0
+    cross_rank: int = 0
     # MXU matmul precision for the MLP/interaction stages.  None = platform
     # default (TPU feeds the MXU bf16-truncated fp32 operands — bit-exact
     # for the reference parity data by structure, and the serving default);
@@ -183,7 +189,12 @@ class ModelConfig:
                 assert self.bottom_mlp.input_dim == self.dense_dim
                 assert self.bottom_mlp.widths[-1] == D
             return
-        assert self.interaction == "none", self.interaction
+        assert self.interaction in ("none", "cross"), self.interaction
+        if self.interaction == "cross":
+            assert self.cross_layers >= 1, "cross interaction needs cross_layers >= 1"
+            assert 0 <= self.cross_rank < self.feature_dim
+        else:
+            assert self.cross_layers == 0, "cross_layers requires interaction='cross'"
         used = np.zeros(self.feature_dim, dtype=bool)
         for t in self.tables:
             seg = used[t.out_offset : t.out_offset + t.dim]
