@@ -253,8 +253,12 @@ int ing_listen(void* h) {
     addr.sin_family = AF_INET;
     addr.sin_addr.s_addr = INADDR_ANY;
     addr.sin_port = htons((uint16_t)(ing->port_base + s));
-    if (::bind(fd, (sockaddr*)&addr, sizeof(addr)) < 0) return -errno;
-    if (::listen(fd, 4) < 0) return -errno;
+    if (::bind(fd, (sockaddr*)&addr, sizeof(addr)) < 0 ||
+        ::listen(fd, 16) < 0) {
+      int e = errno;
+      ::close(fd);
+      return -e;
+    }
     ing->listen_fds.push_back(fd);
   }
   return 0;
