@@ -171,6 +171,15 @@ class ModelConfig:
         return h
 
     def validate(self) -> None:
+        # Cross-knob checks first (they apply to every interaction mode):
+        # stale cross_layers/cross_rank must not ride along silently on
+        # dot/none configs.
+        if self.interaction == "cross":
+            assert self.cross_layers >= 1, "cross interaction needs cross_layers >= 1"
+            assert 0 <= self.cross_rank < self.feature_dim
+        else:
+            assert self.cross_layers == 0, "cross_layers requires interaction='cross'"
+            assert self.cross_rank == 0, "cross_rank requires interaction='cross'"
         if self.interaction == "dot":
             dims = {t.dim for t in self.tables}
             assert len(dims) == 1, "dot interaction requires one shared dim"
@@ -190,11 +199,6 @@ class ModelConfig:
                 assert self.bottom_mlp.widths[-1] == D
             return
         assert self.interaction in ("none", "cross"), self.interaction
-        if self.interaction == "cross":
-            assert self.cross_layers >= 1, "cross interaction needs cross_layers >= 1"
-            assert 0 <= self.cross_rank < self.feature_dim
-        else:
-            assert self.cross_layers == 0, "cross_layers requires interaction='cross'"
         used = np.zeros(self.feature_dim, dtype=bool)
         for t in self.tables:
             seg = used[t.out_offset : t.out_offset + t.dim]
@@ -406,6 +410,26 @@ def micro_dlrm(batch_size: int = 16, rows: int = 64,
     return cfg
 
 
+def micro_cross(batch_size: int = 16, rows: int = 64, cross_layers: int = 2,
+                cross_rank: int = 0) -> ModelConfig:
+    """Minimal DCNv2 config for unit tests: the micro_test geometry (mixed
+    dims 4-32 + 8 dense) with a stacked cross network between the concat
+    and the top MLP.  matmul_precision="highest" because cross layers
+    produce integer activations with >8-bit mantissas on the parity data
+    (docs/DESIGN.md "fp32 matmul precision")."""
+    base = micro_test(batch_size=batch_size, rows=rows)
+    cfg = dataclasses.replace(
+        base,
+        name="micro_cross",
+        interaction="cross",
+        cross_layers=cross_layers,
+        cross_rank=cross_rank,
+        matmul_precision="highest",
+    )
+    cfg.validate()
+    return cfg
+
+
 def dlrm_terabyte(batch_size: int = 1024, dtype: str = "float32",
                   take_stripes: int = 16) -> ModelConfig:
     """MLPerf-style DLRM on the Criteo-1TB cardinalities (beyond-reference
@@ -445,6 +469,7 @@ def dlrm_terabyte(batch_size: int = 1024, dtype: str = "float32",
 CONFIGS = {
     "micro_test": micro_test,
     "micro_dlrm": micro_dlrm,
+    "micro_cross": micro_cross,
     "tiny_dlrm": tiny_dlrm,
     "fleetrec_model1": fleetrec_model1,
     "fleetrec_model2": fleetrec_model2,

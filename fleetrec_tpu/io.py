@@ -51,6 +51,10 @@ def config_fingerprint(cfg) -> str:
         blob["bottom_mlp"] = (
             list(cfg.bottom_mlp.widths) if cfg.bottom_mlp is not None else None
         )
+        if cfg.interaction == "cross":
+            # cross depth/rank change the param shapes; two cross configs
+            # must not share a fingerprint (ADVICE r1).
+            blob["cross"] = [cfg.cross_layers, cfg.cross_rank]
     data = json.dumps(blob, sort_keys=True, separators=(",", ":")).encode()
     return hashlib.sha256(data).hexdigest()
 
@@ -91,6 +95,9 @@ def save_npz(path: str, params, cfg=None) -> None:
         arrs[f"mlp_{i}"] = np.asarray(w)
     for i, w in enumerate(params.get("bottom", [])):
         arrs[f"bottom_{i}"] = np.asarray(w)
+    for li, layer in enumerate(params.get("cross", [])):
+        for j, w in enumerate(layer):
+            arrs[f"cross_{li}_{j}"] = np.asarray(w)
     np.savez(path, **arrs)
 
 
@@ -123,6 +130,13 @@ def load_npz(path: str, model) -> dict:
         n_b = len(model.cfg.bottom_mlp.widths) - 1
         out["bottom"] = [jnp.asarray(data[f"bottom_{i}"], dtype=jnp.dtype(model.cfg.dtype))
                          for i in range(n_b)]
+    if model.cfg.interaction == "cross":
+        n_mats = 2 if model.cfg.cross_rank == 0 else 3  # [W,b] or [U,V,b]
+        out["cross"] = [
+            [jnp.asarray(data[f"cross_{li}_{j}"], dtype=jnp.dtype(model.cfg.dtype))
+             for j in range(n_mats)]
+            for li in range(model.cfg.cross_layers)
+        ]
     return out
 
 
@@ -140,6 +154,8 @@ def _orbax_tree(params) -> dict:
         tree["take_scales"] = tables.take_scales
     if "bottom" in params:
         tree["bottom"] = list(params["bottom"])
+    if "cross" in params:
+        tree["cross"] = [list(layer) for layer in params["cross"]]
     return tree
 
 
@@ -180,4 +196,6 @@ def load_orbax(path: str, model, like_params) -> dict:
     out = {"tables": out_tables, "mlp": list(tree["mlp"])}
     if "bottom" in tree:
         out["bottom"] = list(tree["bottom"])
+    if "cross" in tree:
+        out["cross"] = [list(layer) for layer in tree["cross"]]
     return out

@@ -96,8 +96,15 @@ class FleetRecModel:
             return interaction_head(self.cfg, params, emb, dense)
         feats = lookup_concat(params["tables"], indices, dense)
         dtype = jnp.dtype(self.cfg.dtype)
+        x = feats.astype(dtype)
+        if self.cfg.interaction == "cross":
+            # DCNv2: stacked cross layers on the concatenated [emb | dense]
+            # feature vector, then the top MLP (arXiv:2008.13535).
+            from .interaction import cross_network
+
+            x = cross_network(x, params["cross"], precision=self.cfg.matmul_precision)
         scores = mlp_apply(
-            params["mlp"], feats.astype(dtype), activation=self.cfg.mlp.activation,
+            params["mlp"], x, activation=self.cfg.mlp.activation,
             precision=self.cfg.matmul_precision,
         )
         return scores[:, 0]
@@ -157,6 +164,13 @@ def init_model(
         params["bottom"] = init_mlp_params(
             cfg.bottom_mlp, scheme=mlp_scheme, seed=seed + 1,
             dtype=jnp.dtype(cfg.dtype),
+        )
+    if cfg.interaction == "cross":
+        from .interaction import init_cross_params
+
+        params["cross"] = init_cross_params(
+            cfg.feature_dim, cfg.cross_layers, rank=cfg.cross_rank,
+            scheme=mlp_scheme, seed=seed, dtype=jnp.dtype(cfg.dtype),
         )
     return model, params
 

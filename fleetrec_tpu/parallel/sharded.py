@@ -13,12 +13,18 @@ Mesh and ICI collectives:
 The serving forward is written with shard_map for explicit collective
 placement: each model-shard owns a row-range of the unified take buffer,
 gathers ONLY rows it owns (clip+mask), extracts sub-rows locally, and the
-exchange is ONE psum of the extracted [B, feature] vector.  Letting GSPMD
-partition the same program placed the all-reduce on the un-extracted
-gathered rows ([B*n_take, 128] — 11-16x more ICI bytes; measured via HLO
-inspection, see docs/DESIGN.md), which is why the collective is placed by
-hand.  The one-hot (small-table) path and the dense tail are computed
-replicated and contributed by shard 0 only, so the psum stays correct.
+exchange is ONE psum — of the [B, H1] W1-partial product when H1 <
+feature_dim (the feature-layout permutation is folded into W1, so each
+shard multiplies its zero-masked local features through W1 and only the
+partial activations cross the wire — model3 ships 2048 floats/query
+instead of 3968), else of the extracted [B, feature] vector (interaction
+heads always use this form: they consume the feature vector itself).
+Letting GSPMD partition the same program placed the all-reduce on the
+un-extracted gathered rows ([B*n_take, 128] — 11-16x more ICI bytes;
+measured via HLO inspection, see docs/DESIGN.md), which is why the
+collective is placed by hand; tests/test_hlo.py pins the placement.  The
+one-hot (small-table) path and the dense tail are computed replicated and
+contributed by shard 0 only, so the psum stays correct.
 
 Training keeps the GSPMD path (autodiff-friendly; throughput of the
 backward is not the serving-critical path).
@@ -51,6 +57,19 @@ class ShardedFleetRec:
     def n_model(self) -> int:
         return self.mesh.shape["model"]
 
+    @property
+    def _use_w1_fold(self) -> bool:
+        """Ship the [B, H1] W1-partial product instead of the [B, F] feature
+        vector whenever that is fewer ICI bytes.  Interaction heads (dot /
+        cross) consume the feature vector itself, so they keep the feature
+        psum."""
+        cfg = self.model.cfg
+        return (
+            cfg.interaction == "none"
+            and len(cfg.mlp.widths) >= 2
+            and cfg.mlp.widths[1] < self.model.layout.feature_dim
+        )
+
     def param_shardings(self, params) -> Dict:
         mesh = self.mesh
         repl = NamedSharding(mesh, P())
@@ -65,6 +84,8 @@ class ShardedFleetRec:
         out = {"tables": tables, "mlp": mlp}
         if "bottom" in params:
             out["bottom"] = [repl for _ in params["bottom"]]
+        if "cross" in params:
+            out["cross"] = jax.tree_util.tree_map(lambda _: repl, params["cross"])
         return out
 
     def data_shardings(self):
@@ -166,8 +187,40 @@ class ShardedFleetRec:
         srcs.append(jnp.zeros((B, 1), dtype=emb.dtype))
         src = jnp.concatenate(srcs, axis=1)
         perm = jnp.asarray(layout.feature_perm, dtype=jnp.int32)
+
+        if self._use_w1_fold:
+            # THE exchange, minimal-wire-bytes form (the analog of the
+            # reference's hand-off of only what the next stage needs,
+            # embedding_krnl.cpp:45-143 + constant.h:30-33): fold the
+            # feature-layout permutation into W1 — A[j] = sum of W1 rows i
+            # with feature_perm[i] == j, so src @ A == feats @ W1 — compute
+            # the [B, H1] partial product on the LOCAL (zero-masked) src,
+            # and psum that.  Strictly fewer ICI bytes than the [B, F]
+            # feature psum whenever H1 < F (model3: 2048 < 3968), at zero
+            # extra FLOPs: the first matmul already runs on every shard
+            # (post-psum, replicated); this moves it before the psum.
+            dtype = jnp.dtype(model.cfg.dtype)
+            W1 = params["mlp"][0]
+            A = jnp.zeros((src.shape[1], W1.shape[1]), W1.dtype).at[perm].add(W1)
+            x = src.astype(dtype)
+            part = jnp.dot(x, A.astype(x.dtype),
+                           preferred_element_type=jnp.float32,
+                           precision=model.cfg.matmul_precision)
+            h = jax.lax.psum(part, "model")
+            rest = params["mlp"][1:]
+            if model.cfg.mlp.activation == "relu" and rest:
+                h = jnp.maximum(h, 0.0)
+            h = h.astype(dtype)
+            if not rest:
+                return h[:, 0]
+            scores = mlp_apply(rest, h, activation=model.cfg.mlp.activation,
+                               precision=model.cfg.matmul_precision)
+            return scores[:, 0]
+
         feats = jnp.take(src, perm, axis=1)
-        # THE exchange: one psum of the extracted [B, F] feature vector.
+        # THE exchange (fallback: interaction heads need the actual feature
+        # vector, and F < H1 configs move fewer bytes this way): one psum
+        # of the extracted [B, F] feature vector.
         feats = jax.lax.psum(feats, "model")
 
         if model.cfg.interaction == "dot":
@@ -178,7 +231,15 @@ class ShardedFleetRec:
             return interaction_head(model.cfg, params, feats, dense)
 
         dtype = jnp.dtype(model.cfg.dtype)
-        scores = mlp_apply(params["mlp"], feats.astype(dtype),
+        x = feats.astype(dtype)
+        if model.cfg.interaction == "cross":
+            # DCNv2 cross stack on the psum'd feature vector, replicated
+            # per data-shard (cross weights are small: L x [F, F]).
+            from ..models.interaction import cross_network
+
+            x = cross_network(x, params["cross"],
+                              precision=model.cfg.matmul_precision)
+        scores = mlp_apply(params["mlp"], x,
                            activation=model.cfg.mlp.activation,
                            precision=model.cfg.matmul_precision)
         return scores[:, 0]
@@ -203,6 +264,10 @@ class ShardedFleetRec:
             specs = {"tables": tables, "mlp": mlp}
             if "bottom" in params_like:
                 specs["bottom"] = [P(None, None) for _ in params_like["bottom"]]
+            if "cross" in params_like:
+                specs["cross"] = jax.tree_util.tree_map(
+                    lambda _: P(), params_like["cross"]
+                )
             return specs
 
         local = self._local_forward

@@ -121,6 +121,47 @@ def init_bottom_weights(cfg: ModelConfig, scheme: str = "ones", seed: int = 0) -
     return ws
 
 
+def init_cross_weights(cfg: ModelConfig, scheme: str = "ones", seed: int = 0) -> List[List[np.ndarray]]:
+    """DCNv2 cross-layer weights, seeded in the (seed+2) namespace (cf. the
+    bottom tower's seed+1) to match models.interaction.init_cross_params:
+    per layer [W [F,F], b [F]] full-rank or [U [F,r], V [r,F], b [F]]."""
+    assert cfg.interaction == "cross"
+    F, r = cfg.feature_dim, cfg.cross_rank
+    layers: List[List[np.ndarray]] = []
+    for li in range(cfg.cross_layers):
+        if scheme == "ones":
+            mats = ([np.ones((F, F), np.float32)] if r == 0 else
+                    [np.ones((F, r), np.float32), np.ones((r, F), np.float32)])
+        elif scheme == "uniform":
+            rng = np.random.default_rng((seed + 2) * 104729 + li)
+            if r == 0:
+                mats = [(rng.uniform(-1, 1, (F, F)) / np.sqrt(F)).astype(np.float32)]
+            else:
+                mats = [
+                    (rng.uniform(-1, 1, (F, r)) / np.sqrt(F)).astype(np.float32),
+                    (rng.uniform(-1, 1, (r, F)) / np.sqrt(r)).astype(np.float32),
+                ]
+        else:
+            raise ValueError(scheme)
+        layers.append(mats + [np.zeros((F,), np.float32)])
+    return layers
+
+
+def cross_network_np(x0: np.ndarray, layers: Sequence[Sequence[np.ndarray]],
+                     dtype=np.float64) -> np.ndarray:
+    """DCNv2 oracle: x_{l+1} = x0 * (x_l W_l + b_l) + x_l in float64 —
+    must match models.interaction.cross_network."""
+    x0 = x0.astype(dtype)
+    x = x0
+    for lp in layers:
+        *mats, b = lp
+        xw = x
+        for m in mats:
+            xw = xw @ m.astype(dtype)
+        x = x0 * (xw + b.astype(dtype)) + x
+    return x
+
+
 def dot_interaction_np(vecs: np.ndarray) -> np.ndarray:
     """[B, n, D] -> [B, n*(n-1)//2] strict-lower-triangle pairwise dots,
     row-major (i>j) order — must match models.interaction.dot_interaction."""
@@ -136,6 +177,7 @@ def forward(
     indices: np.ndarray,
     dense: Optional[np.ndarray] = None,
     bottom_weights: Optional[Sequence[np.ndarray]] = None,
+    cross_weights: Optional[Sequence[Sequence[np.ndarray]]] = None,
 ) -> np.ndarray:
     if cfg.interaction == "dot":
         B = indices.shape[0]
@@ -155,6 +197,9 @@ def forward(
             z = np.concatenate([bottom, z], axis=1)
         return mlp_chain(z, weights, cfg.mlp.activation)[:, 0]
     feats = gather_concat(cfg, tables, indices, dense)
+    if cfg.interaction == "cross":
+        assert cross_weights is not None
+        feats = cross_network_np(feats, cross_weights)
     return mlp_chain(feats, weights, cfg.mlp.activation)[:, 0]
 
 

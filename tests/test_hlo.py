@@ -1,0 +1,134 @@
+"""HLO regression tests pinning the hand-placed collective.
+
+The sharded forward's 11x ICI win (parallel/sharded.py module docstring)
+rests on the all-reduce sitting AFTER sub-row extraction — on the [B, H1]
+W1-partial product (fold path) or the [B, F] feature vector (fallback) —
+never on the gathered rows ([B * n_take, take_lanes], 11-16x more bytes).
+GSPMD left alone places it at gathered-row size; a refactor or JAX upgrade
+could silently reintroduce that.  These tests compile the sharded forward
+and assert on the all-reduce ops in the optimized HLO.
+"""
+
+import dataclasses
+import re
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fleetrec_tpu import config as C
+from fleetrec_tpu.models import init_model
+from fleetrec_tpu.parallel import ShardedFleetRec, make_mesh
+
+# matches e.g. "%all-reduce.3 = f32[8,32]{1,0} all-reduce(" and the async
+# "all-reduce-start(" spelling; group 1 = operand result dims
+_AR = re.compile(r"=\s*\w+\[([0-9,]*)\][^=]*?\ball-reduce(?:-start)?\(")
+
+
+def _all_reduce_shapes(compiled_text: str):
+    """Element counts of every all-reduce result in the HLO, in order."""
+    out = []
+    for m in _AR.finditer(compiled_text):
+        dims = m.group(1)
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        out.append(n)
+    return out
+
+
+def _compile_forward(cfg, data, model_ax, seed=0):
+    model, params = init_model(cfg, table_scheme="uniform", mlp_scheme="uniform")
+    mesh = make_mesh(data=data, model=model_ax)
+    sh = ShardedFleetRec(model, mesh)
+    sparams = sh.shard_params(params)
+    rng = np.random.default_rng(seed)
+    B = cfg.batch_size
+    idx = np.stack([rng.integers(0, t.rows, B) for t in cfg.tables], 1).astype(np.int32)
+    dense = (rng.uniform(-1, 1, (B, cfg.dense_dim)).astype(np.float32)
+             if cfg.dense_dim else None)
+    sidx, sdense = sh.shard_batch(jnp.asarray(idx),
+                                  None if dense is None else jnp.asarray(dense))
+    lowered = sh.forward.lower(sparams, sidx, sdense)
+    return sh, model, lowered.compile().as_text()
+
+
+def test_fold_path_single_allreduce_at_w1_partial_size():
+    # micro_test: F=100, H1=32 -> fold active; exactly one all-reduce at
+    # [B_loc, H1], none at gathered-row or feature size.
+    cfg = C.micro_test(batch_size=32)
+    sh, model, txt = _compile_forward(cfg, data=1, model_ax=8)
+    assert sh._use_w1_fold
+    shapes = _all_reduce_shapes(txt)
+    B_loc = 32
+    H1 = cfg.mlp.widths[1]
+    assert shapes == [B_loc * H1], (shapes, B_loc * H1)
+    gathered = B_loc * model.layout.n_take * model.layout.take_lanes
+    assert gathered not in shapes
+    assert B_loc * cfg.feature_dim not in shapes
+
+
+def test_fallback_path_single_allreduce_at_feature_size():
+    # tiny_dlrm: F=128 < H1=256 -> feature psum stays (fewer bytes).
+    cfg = dataclasses.replace(
+        C.tiny_dlrm(batch_size=32),
+        tables=tuple(dataclasses.replace(t, rows=4096) for t in C.tiny_dlrm().tables),
+    )
+    sh, model, txt = _compile_forward(cfg, data=2, model_ax=4)
+    assert not sh._use_w1_fold
+    shapes = _all_reduce_shapes(txt)
+    B_loc = 32 // 2
+    assert shapes == [B_loc * cfg.feature_dim], shapes
+    gathered = B_loc * model.layout.n_take * model.layout.take_lanes
+    assert gathered not in shapes
+
+
+def test_model3_fold_allreduce_is_h1_not_feature():
+    # The flagship multi-chip config: the exchange must be [B_loc, 2048],
+    # not [B_loc, 3968] — the halved-ICI claim in docs/DESIGN.md.
+    cfg = C.fleetrec_model3(batch_size=16)
+    cfg = dataclasses.replace(
+        cfg, tables=tuple(dataclasses.replace(t, rows=min(t.rows, 128)) for t in cfg.tables)
+    )
+    sh, model, txt = _compile_forward(cfg, data=2, model_ax=4)
+    assert sh._use_w1_fold
+    shapes = _all_reduce_shapes(txt)
+    B_loc = 16 // 2
+    assert shapes == [B_loc * 2048], shapes
+    assert B_loc * 3968 not in shapes
+
+
+@pytest.mark.parametrize("data,model_ax", [(1, 8), (2, 4)])
+def test_fold_path_bitexact_on_parity_data(data, model_ax):
+    # pm1 tables + all-ones W: every partial sum is a small integer, so the
+    # fold's different contraction order must still be bit-exact vs the
+    # single-device forward.
+    import jax
+
+    cfg = C.micro_test(batch_size=32)
+    model, params = init_model(cfg)  # pm1 / ones
+    rng = np.random.default_rng(7)
+    idx = np.stack([rng.integers(0, t.rows, 32) for t in cfg.tables], 1).astype(np.int32)
+    dense = rng.integers(0, 3, (32, cfg.dense_dim)).astype(np.float32)
+    single = np.asarray(
+        jax.jit(model.forward)(params, jnp.asarray(idx), jnp.asarray(dense))
+    )
+    mesh = make_mesh(data=data, model=model_ax)
+    sh = ShardedFleetRec(model, mesh)
+    assert sh._use_w1_fold
+    sp = sh.shard_params(params)
+    si, sd = sh.shard_batch(jnp.asarray(idx), jnp.asarray(dense))
+    got = np.asarray(sh.forward(sp, si, sd))
+    assert np.array_equal(got, single)
+
+
+def test_interaction_head_keeps_feature_psum():
+    # dot interaction consumes the feature vector itself -> no fold.
+    cfg = C.micro_dlrm(batch_size=32, onehot_max=70)
+    sh, model, txt = _compile_forward(cfg, data=2, model_ax=4)
+    assert not sh._use_w1_fold
+    shapes = _all_reduce_shapes(txt)
+    B_loc = 32 // 2
+    emb_flat = cfg.num_tables * cfg.tables[0].dim
+    assert shapes == [B_loc * emb_flat], shapes
