@@ -63,26 +63,32 @@ def _build(args, reduce_rows=None):
 
 
 def cmd_serve(args):
-    """Start the ingest server + serving loop (index mode by default).
+    """Start the ingest server + serving loop (index mode).
 
-    Wire format per batch: int32 indices [B, T] then float32 dense
-    [B, dense_dim], split over --senders equal parts is NOT supported —
-    one sender per tensor role, matching the reference topology: sender 0
-    ships indices (+dense appended) for simplicity."""
-    from .serving import IngestServer, ServingEngine
+    --senders 1 (default): one sender ships int32 indices [B, T] then
+    float32 dense [B, dense_dim].
+    --senders N > 1: the reference 3-node topology (cuda_server.c:362-488)
+    with indices on the wire — sender 0 ships the dense slice (the CPU0
+    analog, when dense_dim > 0), the others int32 indices for contiguous
+    config-order table ranges (the FPGA-shard analogs), each on port
+    base+s, assembled at fixed slot offsets (serving/wire.py)."""
+    from .serving import IndexWireFormat, IngestServer, ServingEngine
 
     cfg, model, params, _ = _build(args)
     eng = ServingEngine.from_model(model, params, batch_size=args.batch,
                                    background_drain=args.bg_drain)
     B = args.batch
-    idx_bytes = B * cfg.num_tables * 4
-    dense_bytes = B * cfg.dense_dim * 4
-    with IngestServer([idx_bytes + dense_bytes], n_slots=args.slots,
-                      port_base=args.port) as ing:
-        print(f"serving {cfg.name} B={B} on port {args.port} "
-              f"({idx_bytes + dense_bytes} B/batch)", flush=True)
+    wire = None
+    if args.senders > 1:
+        wire = IndexWireFormat.plan(cfg, B, args.senders)
+        nbytes = wire.bytes_per_sender()
+    else:
+        nbytes = [B * (cfg.num_tables + cfg.dense_dim) * 4]
+    with IngestServer(nbytes, n_slots=args.slots, port_base=args.port) as ing:
+        print(f"serving {cfg.name} B={B} on ports {args.port}"
+              f"..{args.port + len(nbytes) - 1} ({nbytes} B/batch)", flush=True)
         summary = eng.run_from_ingest(
-            ing, args.batches, mode="index",
+            ing, args.batches, mode="index", wire=wire,
             row_limits=[t.rows for t in cfg.tables],
             reply_to=0 if args.reply else None,
         )
@@ -91,10 +97,18 @@ def cmd_serve(args):
 
 
 def cmd_loadgen(args):
-    """Send synthetic index batches to a serve instance."""
+    """Send synthetic index batches to a serve instance.
+
+    --senders N > 1 emulates the reference's N-node sender fleet from one
+    process (the run_client_sender.sh analog): one TCP connection per role
+    (dense node + table-shard nodes), each streaming only its slice of
+    every batch (serving/wire.py layout)."""
+    import queue as queue_mod
     import socket
+    import threading
 
     from . import config as C
+    from .serving.wire import IndexWireFormat
 
     cfg = C.get_config(args.config, batch_size=args.batch)
     if args.max_rows:
@@ -112,17 +126,35 @@ def cmd_loadgen(args):
             return np.minimum(z - 1, rows - 1).astype(np.int64)
         return rng.integers(0, rows, B)
 
-    sock = socket.create_connection((args.ip, args.port), timeout=30)
+    def gen_batch():
+        idx = np.stack([draw(t.rows) for t in cfg.tables], 1).astype(np.int32)
+        dense = (rng.uniform(-1, 1, (B, cfg.dense_dim)).astype(np.float32)
+                 if cfg.dense_dim else None)
+        return idx, dense
+
+    def connect(port, tries=100):
+        # the server may still be building the model / binding (the C
+        # loadgen retries the same way, native/ingest.cpp loadgen_run)
+        while True:
+            try:
+                return socket.create_connection((args.ip, port), timeout=30)
+            except OSError:
+                tries -= 1
+                if tries == 0:
+                    raise
+                time.sleep(0.1)
+
+    n_senders = args.senders
+    socks = [connect(args.port + s) for s in range(n_senders)]
     reader = None
     scores_read = [0]
     if args.read_scores:
-        import threading
-
+        # scores stream back on sender 0's connection (serve --reply)
         def _read():
             want = args.batches * B * 4
             got = 0
             while got < want:
-                chunk = sock.recv(min(1 << 16, want - got))
+                chunk = socks[0].recv(min(1 << 16, want - got))
                 if not chunk:
                     break
                 got += len(chunk)
@@ -130,19 +162,45 @@ def cmd_loadgen(args):
 
         reader = threading.Thread(target=_read, daemon=True)
         reader.start()
+
     t0 = time.time()
-    for b in range(args.batches):
-        idx = np.stack([draw(t.rows) for t in cfg.tables], 1).astype(np.int32)
-        payload = idx.tobytes()
-        if cfg.dense_dim:
-            payload += rng.uniform(-1, 1, (B, cfg.dense_dim)).astype(np.float32).tobytes()
-        sock.sendall(payload)
+    if n_senders == 1:
+        for _ in range(args.batches):
+            idx, dense = gen_batch()
+            payload = idx.tobytes()
+            if dense is not None:
+                payload += dense.tobytes()
+            socks[0].sendall(payload)
+    else:
+        wire = IndexWireFormat.plan(cfg, B, n_senders)
+        qs = [queue_mod.Queue(maxsize=4) for _ in range(n_senders)]
+
+        def pump(s):
+            while True:
+                payload = qs[s].get()
+                if payload is None:
+                    return
+                socks[s].sendall(payload)
+
+        pumps = [threading.Thread(target=pump, args=(s,), daemon=True)
+                 for s in range(n_senders)]
+        for t in pumps:
+            t.start()
+        for _ in range(args.batches):
+            idx, dense = gen_batch()
+            for s, payload in enumerate(wire.payloads(idx, dense)):
+                qs[s].put(payload)
+        for q in qs:
+            q.put(None)
+        for t in pumps:
+            t.join(timeout=60)
     if reader is not None:
         reader.join(timeout=60)
-    sock.close()
+    for sock in socks:
+        sock.close()
     dt = time.time() - t0
-    msg = (f"sent {args.batches} x {B} queries in {dt:.2f}s "
-           f"({args.batches * B / dt:.0f} q/s)")
+    msg = (f"sent {args.batches} x {B} queries over {n_senders} sender(s) "
+           f"in {dt:.2f}s ({args.batches * B / dt:.0f} q/s)")
     if args.read_scores:
         msg += f"; scores received: {scores_read[0]}"
     print(msg)
@@ -401,6 +459,10 @@ def main(argv=None):
     s.add_argument("--port", type=int, default=7080)
     s.add_argument("--slots", type=int, default=8)
     s.add_argument("--batches", type=int, default=100)
+    s.add_argument("--senders", type=int, default=1,
+                   help="index-mode senders: 1 = single wire; N>1 = the "
+                   "reference 3-node topology (dense node + table-shard "
+                   "nodes at ports base..base+N-1)")
     s.add_argument("--bg-drain", action="store_true",
                    help="readbacks on a background thread (overlaps the next "
                    "batch's ingest copy with the previous readback)")
@@ -413,6 +475,8 @@ def main(argv=None):
     s.add_argument("--ip", default="127.0.0.1")
     s.add_argument("--port", type=int, default=7080)
     s.add_argument("--batches", type=int, default=100)
+    s.add_argument("--senders", type=int, default=1,
+                   help="emulate N sender nodes (must match serve --senders)")
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--dist", default="uniform", choices=["uniform", "zipf"])
     s.add_argument("--read-scores", action="store_true",

@@ -1,4 +1,6 @@
 from .ingest import IngestServer, Loadgen, build_native
 from .engine import ServingEngine, LatencyStats
+from .wire import IndexWireFormat
 
-__all__ = ["IngestServer", "Loadgen", "build_native", "ServingEngine", "LatencyStats"]
+__all__ = ["IngestServer", "Loadgen", "build_native", "ServingEngine",
+           "LatencyStats", "IndexWireFormat"]

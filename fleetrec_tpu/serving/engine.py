@@ -262,13 +262,18 @@ class ServingEngine:
                         on_done: Optional[Callable] = None,
                         timeout_ms: int = 20_000,
                         row_limits: Optional[Sequence[int]] = None,
-                        reply_to: Optional[int] = None) -> dict:
+                        reply_to: Optional[int] = None,
+                        wire=None) -> dict:
         """Consume n_batches from an IngestServer and score them.
 
         feature mode: slot floats are [B, feature_dim].
-        index mode: slot floats are bit-cast int32 [B, num_tables] indices
-        followed by [B, dense_dim] floats (senders transmit indices as the
-        raw bytes of int32 — fixed offsets, like constant.h's layout).
+        index mode, single sender (wire=None): slot floats are bit-cast
+        int32 [B, num_tables] indices followed by [B, dense_dim] floats
+        (senders transmit indices as the raw bytes of int32 — fixed
+        offsets, like constant.h's layout).
+        index mode, multi-sender: pass an IndexWireFormat (serving/wire.py)
+        describing the per-sender slot layout — the reference's 3-node
+        topology (dense node + table-shard nodes, cuda_server.c:362-488).
 
         reply_to: sender index to stream the fp32 scores back to after each
         batch (the egress half the reference lacks — its server only prints
@@ -292,6 +297,12 @@ class ServingEngine:
                 feats = view.reshape(B, feature_dim).copy()
                 ingest.release(slot)
                 self.submit(feats, None, t_first, t_complete, on_done)
+            elif wire is not None:
+                idx, dense = wire.parse(view)
+                ingest.release(slot)
+                if row_limits is not None:
+                    self.validate_indices(idx, row_limits)
+                self.submit(idx, dense, t_first, t_complete, on_done)
             else:
                 n_idx = B * self.num_tables
                 idx = view[:n_idx].view(np.int32).reshape(B, self.num_tables).copy()
