@@ -72,7 +72,7 @@ def cmd_serve(args):
     analog, when dense_dim > 0), the others int32 indices for contiguous
     config-order table ranges (the FPGA-shard analogs), each on port
     base+s, assembled at fixed slot offsets (serving/wire.py)."""
-    from .serving import IndexWireFormat, IngestServer, ServingEngine
+    from .serving import IndexWireFormat, IngestServer, ScatterEgress, ServingEngine
 
     cfg, model, params, _ = _build(args)
     eng = ServingEngine.from_model(model, params, batch_size=args.batch,
@@ -84,6 +84,12 @@ def cmd_serve(args):
         nbytes = wire.bytes_per_sender()
     else:
         nbytes = [B * (cfg.num_tables + cfg.dense_dim) * 4]
+    scatter = None
+    if args.scatter:
+        scatter = ScatterEgress(queue_blocks=args.slots)
+        for dest in args.scatter.split(","):
+            host, _, port = dest.partition(":")
+            scatter.connect(host, int(port))
     with IngestServer(nbytes, n_slots=args.slots, port_base=args.port) as ing:
         print(f"serving {cfg.name} B={B} on ports {args.port}"
               f"..{args.port + len(nbytes) - 1} ({nbytes} B/batch)", flush=True)
@@ -91,8 +97,12 @@ def cmd_serve(args):
             ing, args.batches, mode="index", wire=wire,
             row_limits=[t.rows for t in cfg.tables],
             reply_to=0 if args.reply else None,
+            scatter=scatter,
         )
         eng.close()
+        if scatter is not None:
+            summary["scatter"] = scatter.stats()
+            scatter.close()
         print(json.dumps(summary))
 
 
@@ -288,13 +298,10 @@ def cmd_netbench(args):
 
     nbytes = [args.bytes_per_batch] * args.senders
     t_first = None
-    with IngestServer(nbytes, n_slots=args.slots, port_base=args.port) as ing:
-        lgs = [
-            Loadgen("127.0.0.1", args.port + s, [nbytes[s]], args.batches, fill=1.0)
-            for s in range(args.senders)
-        ]
-        for lg in lgs:
-            lg.threads[0].start()
+    with IngestServer(nbytes, n_slots=args.slots, port_base=args.port,
+                      n_conns=args.conns, pkg_bytes=args.pkg_bytes) as ing:
+        lg = Loadgen("127.0.0.1", args.port, nbytes, args.batches, fill=1.0,
+                     n_conns=args.conns, pkg_bytes=args.pkg_bytes).start()
         lat = []
         for _ in range(args.batches):
             r = ing.acquire(30_000)
@@ -309,7 +316,8 @@ def cmd_netbench(args):
         dt = (t_last - t_first) / 1e9
         lat = np.asarray(lat[1:] or lat)
         print(json.dumps({
-            "senders": args.senders, "batches": args.batches,
+            "senders": args.senders, "conns": args.conns,
+            "pkg_bytes": args.pkg_bytes, "batches": args.batches,
             "GB_s": round(total / dt / 1e9, 3),
             "batch_assembly_ms_p50": round(float(np.percentile(lat, 50)), 3),
             "batch_assembly_ms_p99": round(float(np.percentile(lat, 99)), 3),
@@ -469,6 +477,10 @@ def main(argv=None):
     s.add_argument("--reply", action="store_true",
                    help="stream fp32 scores back to sender 0 after each "
                    "batch (client must read them)")
+    s.add_argument("--scatter", default="",
+                   help="comma-separated host:port consumers to fan scores "
+                   "out to round-robin (the scatter_krnl tier; slow/dead "
+                   "consumers shed their own share only)")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("loadgen", parents=[common])
@@ -507,6 +519,12 @@ def main(argv=None):
     s.add_argument("--batches", type=int, default=50)
     s.add_argument("--slots", type=int, default=8)
     s.add_argument("--port", type=int, default=27080)
+    s.add_argument("--conns", type=int, default=1,
+                   help="parallel connections per sender (the reference's "
+                   "useConn knob, default 4 there)")
+    s.add_argument("--pkg-bytes", type=int, default=64 * 1024,
+                   help="stripe packet size when --conns > 1 (pkgWordCount "
+                   "analog)")
     s.set_defaults(fn=cmd_netbench)
 
     s = sub.add_parser("export", parents=[common],

@@ -263,7 +263,7 @@ class ServingEngine:
                         timeout_ms: int = 20_000,
                         row_limits: Optional[Sequence[int]] = None,
                         reply_to: Optional[int] = None,
-                        wire=None) -> dict:
+                        scatter=None, wire=None) -> dict:
         """Consume n_batches from an IngestServer and score them.
 
         feature mode: slot floats are [B, feature_dim].
@@ -279,13 +279,22 @@ class ServingEngine:
         batch (the egress half the reference lacks — its server only prints
         the first 5 outputs and sends one end-of-run ack). The client must
         read replies or TCP backpressure stalls the drain.
+
+        scatter: a ScatterEgress fanning each batch's fp32 scores out to N
+        independent downstream consumers round-robin (the scatter_krnl tier,
+        scatter.cpp:116-235) — slow/dead consumers shed their own share
+        without stalling the loop. Composes with reply_to.
         """
         B = self.batch_size
-        if reply_to is not None:
+        if reply_to is not None or scatter is not None:
             user_on_done = on_done
 
             def on_done(bid, scores, _u=user_on_done):
-                ingest.reply(reply_to, np.asarray(scores, dtype=np.float32))
+                out = np.asarray(scores, dtype=np.float32)
+                if reply_to is not None:
+                    ingest.reply(reply_to, out)
+                if scatter is not None:
+                    scatter.send(out)
                 if _u is not None:
                     _u(bid, scores)
         for i in range(n_batches):

@@ -363,6 +363,88 @@ def test_sender_reconnect_resumes_batch():
             ing.release(slot)
 
 
+def test_multi_conn_striped_reassembly():
+    """useConn analog (embedding_krnl.cpp:45-143 sendData, host.cpp:976-977
+    default 4 conns): each sender stripes its payload over 4 parallel
+    connections in fixed packets; ramp-coded payloads prove every packet
+    lands at its deterministic offset."""
+    widths = [64, 1952, 1952]  # the model-3 wire, B=2
+    B, CONNS, PKG = 2, 4, 512
+    nbytes = [B * w * 4 for w in widths]
+    with IngestServer(nbytes, n_slots=4, port_base=PORT + 60,
+                      n_conns=CONNS, pkg_bytes=PKG) as ing:
+        # sender 0: 512 B payload = 1 packet -> clamps to 1 active conn
+        assert ing.n_stripes == 1 + 4 + 4
+        lg = Loadgen("127.0.0.1", PORT + 60, nbytes, n_batches=5,
+                     n_conns=CONNS, pkg_bytes=PKG, ramp=True).start()
+        for _ in range(5):
+            r = ing.acquire(5000)
+            assert r is not None, "timeout"
+            slot, view, *_ = r
+            off = 0
+            for w in widths:
+                n = B * w
+                np.testing.assert_array_equal(
+                    view[off:off + n], np.arange(n, dtype=np.float32))
+                off += n
+            ing.release(slot)
+        assert lg.join(5) == [5, 5, 5]
+
+
+def test_multi_conn_stripe_reconnect_resumes():
+    """One stripe's connection dying mid-batch must stall only that stripe;
+    a replacement connection on the same stripe port resumes the in-flight
+    batch and the assembled slot is still correct."""
+    import socket
+    import threading
+
+    B, F, CONNS, PKG = 2, 256, 2, 512  # 2048 B payload = 4 pkgs, 2/stripe
+    nbytes = B * F * 4
+    pkt = np.arange(B * F, dtype=np.float32)
+
+    def stripe_payload(c):
+        # packets j = c, c+2 of the ramp payload, concatenated in wire order
+        segs = []
+        for j in range(c, 4, CONNS):
+            segs.append(pkt[j * 128:(j + 1) * 128])
+        return np.concatenate(segs).tobytes()
+
+    with IngestServer([nbytes], n_slots=4, port_base=PORT + 70,
+                      n_conns=CONNS, pkg_bytes=PKG) as ing:
+        # stripe 1 streams both batches up front
+        def s1():
+            s = socket.create_connection(("127.0.0.1", PORT + 71), timeout=5)
+            s.sendall(stripe_payload(1) * 2)
+            s.close()
+
+        # stripe 0 sends batch 0, then half a packet of batch 1, then dies
+        def s0_a():
+            s = socket.create_connection(("127.0.0.1", PORT + 70), timeout=5)
+            s.sendall(stripe_payload(0))
+            s.sendall(stripe_payload(0)[:256])
+            s.close()
+
+        def s0_b():
+            s = socket.create_connection(("127.0.0.1", PORT + 70), timeout=5)
+            s.sendall(stripe_payload(0))  # batch 1, fresh from segment start
+            s.close()
+
+        threading.Thread(target=s1, daemon=True).start()
+        threading.Thread(target=s0_a, daemon=True).start()
+        r = ing.acquire(5000)
+        assert r is not None
+        slot, view, *_ = r
+        np.testing.assert_array_equal(view, pkt)
+        ing.release(slot)
+        time.sleep(0.2)  # let s0_a die
+        threading.Thread(target=s0_b, daemon=True).start()
+        r = ing.acquire(5000)
+        assert r is not None, "stripe reconnect never completed batch 1"
+        slot, view, *_ = r
+        np.testing.assert_array_equal(view, pkt)
+        ing.release(slot)
+
+
 def test_servebench_device_pool_and_fuse():
     """device_pool slices batches device-side; fuse=K scans K batches per
     dispatch — both must achieve the offered load and report sane latency."""
