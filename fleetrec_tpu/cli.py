@@ -76,7 +76,12 @@ def cmd_serve(args):
 
     cfg, model, params, _ = _build(args)
     eng = ServingEngine.from_model(model, params, batch_size=args.batch,
-                                   background_drain=args.bg_drain)
+                                   background_drain=args.bg_drain,
+                                   fuse=args.fuse)
+    if args.warm:
+        t0 = time.time()
+        eng.warmup()
+        print(f"warmup compile: {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
     B = args.batch
     wire = None
     if args.senders > 1:
@@ -174,12 +179,24 @@ def cmd_loadgen(args):
         reader.start()
 
     t0 = time.time()
+    # offered-load pacing: --qps Q paces batch k to start at t0 + k*B/Q
+    # (open-loop arrivals; if a send blocks on TCP backpressure the sender
+    # falls behind and the measured rate shows it — closed-loop honesty)
+    interval = B / args.qps if args.qps else 0.0
+
+    def pace(k):
+        if interval:
+            lag = t0 + k * interval - time.time()
+            if lag > 0:
+                time.sleep(lag)
+
     if n_senders == 1:
-        for _ in range(args.batches):
+        for k in range(args.batches):
             idx, dense = gen_batch()
             payload = idx.tobytes()
             if dense is not None:
                 payload += dense.tobytes()
+            pace(k)
             socks[0].sendall(payload)
     else:
         wire = IndexWireFormat.plan(cfg, B, n_senders)
@@ -196,8 +213,9 @@ def cmd_loadgen(args):
                  for s in range(n_senders)]
         for t in pumps:
             t.start()
-        for _ in range(args.batches):
+        for k in range(args.batches):
             idx, dense = gen_batch()
+            pace(k)
             for s, payload in enumerate(wire.payloads(idx, dense)):
                 qs[s].put(payload)
         for q in qs:
@@ -211,6 +229,8 @@ def cmd_loadgen(args):
     dt = time.time() - t0
     msg = (f"sent {args.batches} x {B} queries over {n_senders} sender(s) "
            f"in {dt:.2f}s ({args.batches * B / dt:.0f} q/s)")
+    if args.qps:
+        msg += f" [offered {args.qps:.0f} q/s]"
     if args.read_scores:
         msg += f"; scores received: {scores_read[0]}"
     print(msg)
@@ -481,6 +501,15 @@ def main(argv=None):
                    help="comma-separated host:port consumers to fan scores "
                    "out to round-robin (the scatter_krnl tier; slow/dead "
                    "consumers shed their own share only)")
+    s.add_argument("--fuse", type=int, default=1,
+                   help="ingest batches per device call (lax.scan); "
+                   "amortizes per-call dispatch overhead — required for "
+                   "rate on the tunneled dev chip (~29 ms/call floor). "
+                   "--batches must divide by it")
+    s.add_argument("--warm", action="store_true",
+                   help="compile the scoring program on dummy data before "
+                   "accepting traffic (keeps XLA compile out of the "
+                   "latency records)")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("loadgen", parents=[common])
@@ -494,6 +523,9 @@ def main(argv=None):
     s.add_argument("--read-scores", action="store_true",
                    help="read the fp32 scores the server streams back "
                    "(pair with serve --reply)")
+    s.add_argument("--qps", type=float, default=0,
+                   help="offered load in queries/s (paced open-loop); "
+                   "0 = send as fast as TCP accepts")
     s.set_defaults(fn=cmd_loadgen)
 
     s = sub.add_parser("bench", parents=[common])

@@ -89,6 +89,7 @@ class ServingEngine:
         self.dense_dim = dense_dim
         self.batch_size = batch_size
         self.max_in_flight = max_in_flight
+        self.fuse = 1  # ingest batches per device call (from_model(fuse=K))
         self.stats = LatencyStats()
         self._in_flight: "queue.Queue" = queue.Queue()
         self._batch_id = 0
@@ -110,18 +111,43 @@ class ServingEngine:
     # -- construction ----------------------------------------------------
     @classmethod
     def from_model(cls, model, params, batch_size: int, max_in_flight: int = 2,
-                   background_drain: bool = False):
+                   background_drain: bool = False, fuse: int = 1):
+        """fuse=K > 1 scores K ingest batches per device call as one
+        lax.scan ([K, B, T] indices -> [K, B] scores) — the production
+        dispatch shape, and the only way past a high per-call dispatch
+        overhead (the tunneled dev chip adds ~29 ms/call; docs/DESIGN.md
+        "tunnel dispatch floor")."""
         import jax
         import jax.numpy as jnp
 
-        fwd = jax.jit(model.forward)
+        if fuse > 1:
+            @jax.jit
+            def fwd_scan_i(params, idx):
+                return jax.lax.scan(
+                    lambda c, i: (c, model.forward(params, i, None)), 0, idx)[1]
 
-        def score(indices_np, dense_np):
-            d = None if dense_np is None else jnp.asarray(dense_np)
-            return fwd(params, jnp.asarray(indices_np), d)
+            @jax.jit
+            def fwd_scan_id(params, idx, dense):
+                return jax.lax.scan(
+                    lambda c, x: (c, model.forward(params, x[0], x[1])), 0,
+                    (idx, dense))[1]
 
-        return cls(score, model.cfg.num_tables, model.cfg.dense_dim, batch_size,
-                   max_in_flight, background_drain)
+            def score(indices_np, dense_np):
+                i = jnp.asarray(indices_np)  # [K, B, T]
+                if dense_np is None:
+                    return fwd_scan_i(params, i)
+                return fwd_scan_id(params, i, jnp.asarray(dense_np))
+        else:
+            fwd = jax.jit(model.forward)
+
+            def score(indices_np, dense_np):
+                d = None if dense_np is None else jnp.asarray(dense_np)
+                return fwd(params, jnp.asarray(indices_np), d)
+
+        eng = cls(score, model.cfg.num_tables, model.cfg.dense_dim, batch_size,
+                  max_in_flight, background_drain)
+        eng.fuse = fuse
+        return eng
 
     @classmethod
     def from_sharded(cls, sharded, params, batch_size: int, max_in_flight: int = 2,
@@ -163,6 +189,21 @@ class ServingEngine:
             return fwd(params["mlp"], jnp.asarray(feats_np))
 
         return cls(score, 0, 0, batch_size, max_in_flight, background_drain)
+
+    def warmup(self):
+        """Compile the scoring program on dummy data before the first real
+        batch (index-mode engines) — keeps the XLA compile out of the
+        measured latency records (the reference pays its warm-up in the
+        excluded first batch, cuda_server.c:714; on the tunneled dev chip
+        the first compile can take minutes, so exclusion isn't enough)."""
+        if self.num_tables == 0:
+            raise ValueError("warmup is for index-mode engines")
+        shape = ((self.fuse, self.batch_size, self.num_tables)
+                 if self.fuse > 1 else (self.batch_size, self.num_tables))
+        idx = np.zeros(shape, np.int32)
+        dense = (np.zeros(shape[:-1] + (self.dense_dim,), np.float32)
+                 if self.dense_dim else None)
+        np.asarray(self.score_fn(idx, dense))  # readback forces completion
 
     # -- validation (host-side guard against NaN-fill gathers) -----------
     def validate_indices(self, indices: np.ndarray, row_limits: Sequence[int]):
@@ -284,41 +325,42 @@ class ServingEngine:
         independent downstream consumers round-robin (the scatter_krnl tier,
         scatter.cpp:116-235) — slow/dead consumers shed their own share
         without stalling the loop. Composes with reply_to.
+
+        Fused dispatch: if the engine was built with from_model(fuse=K),
+        index-mode batches are grouped K at a time into one [K, B, T]
+        device call (n_batches must divide by K).  Replies/scatter still go
+        out per wire-batch; the latency record per group spans the EARLIEST
+        first byte to all K scores ready, so fusing's queueing cost shows
+        up honestly in p50/p99.
         """
         B = self.batch_size
+        fuse = self.fuse
+        if fuse > 1:
+            if mode == "feature":
+                raise ValueError("fused dispatch is index-mode only")
+            if n_batches % fuse:
+                raise ValueError(f"n_batches={n_batches} must divide by fuse={fuse}")
         if reply_to is not None or scatter is not None:
             user_on_done = on_done
 
             def on_done(bid, scores, _u=user_on_done):
                 out = np.asarray(scores, dtype=np.float32)
-                if reply_to is not None:
-                    ingest.reply(reply_to, out)
-                if scatter is not None:
-                    scatter.send(out)
+                # fused groups reply per wire-batch ([K, B] -> K sends) so
+                # consumers see the same stream framing at any fuse level
+                for sub in (out if out.ndim == 2 else [out]):
+                    if reply_to is not None:
+                        ingest.reply(reply_to, sub)
+                    if scatter is not None:
+                        scatter.send(sub)
                 if _u is not None:
                     _u(bid, scores)
-        for i in range(n_batches):
-            got = ingest.acquire(timeout_ms)
-            if got is None:
-                raise TimeoutError(f"ingest timeout at batch {i}")
-            slot, view, t_first, t_complete = got
-            if mode == "feature":
-                feats = view.reshape(B, feature_dim).copy()
-                ingest.release(slot)
-                self.submit(feats, None, t_first, t_complete, on_done)
-            elif wire is not None:
+
+        def parse_index_slot(view):
+            if wire is not None:
                 idx, dense = wire.parse(view)
-                ingest.release(slot)
-                if row_limits is not None:
-                    self.validate_indices(idx, row_limits)
-                self.submit(idx, dense, t_first, t_complete, on_done)
             else:
                 n_idx = B * self.num_tables
                 idx = view[:n_idx].view(np.int32).reshape(B, self.num_tables).copy()
-                if row_limits is not None:
-                    # reject bad row ids at the wire (otherwise they surface
-                    # as NaN scores, models/fleetrec.py docstring)
-                    self.validate_indices(idx, row_limits)
                 dense = (
                     view[n_idx : n_idx + B * self.dense_dim]
                     .reshape(B, self.dense_dim)
@@ -326,6 +368,42 @@ class ServingEngine:
                     if self.dense_dim
                     else None
                 )
+            return idx, dense
+
+        for i in range(0, n_batches, fuse):
+            idxs, denses, t_firsts, t_completes = [], [], [], []
+            for k in range(fuse):
+                got = ingest.acquire(timeout_ms)
+                if got is None:
+                    raise TimeoutError(f"ingest timeout at batch {i + k}")
+                slot, view, t_first, t_complete = got
+                if mode == "feature":
+                    feats = view.reshape(B, feature_dim).copy()
+                    ingest.release(slot)
+                    self.submit(feats, None, t_first, t_complete, on_done)
+                    break
+                idx, dense = parse_index_slot(view)
                 ingest.release(slot)
-                self.submit(idx, dense, t_first, t_complete, on_done)
-        return self.drain()
+                if row_limits is not None:
+                    # reject bad row ids at the wire (otherwise they surface
+                    # as NaN scores, models/fleetrec.py docstring)
+                    self.validate_indices(idx, row_limits)
+                idxs.append(idx)
+                denses.append(dense)
+                t_firsts.append(t_first)
+                t_completes.append(t_complete)
+            if mode == "feature":
+                continue
+            if fuse > 1:
+                idx = np.stack(idxs)  # [K, B, T]
+                dense = None if denses[0] is None else np.stack(denses)
+            else:
+                idx, dense = idxs[0], denses[0]
+            self.submit(idx, dense, min(t_firsts), max(t_completes), on_done)
+        summary = self.drain()
+        if summary.get("batches_per_sec"):
+            # each LatencyStats record covers `fuse` wire batches of B queries
+            summary["queries_per_sec"] = summary["batches_per_sec"] * fuse * B
+        summary["wire_batches"] = n_batches
+        summary["fuse"] = fuse
+        return summary

@@ -105,6 +105,98 @@ def test_engine_three_sender_index_mode_end_to_end():
         np.testing.assert_allclose(outs[b], golden, rtol=1e-4, atol=1e-4)
 
 
+def test_engine_fused_dispatch_parity():
+    """from_model(fuse=2): two wire batches per device call (one lax.scan).
+    Scores stay oracle-exact per wire batch and the summary reports the
+    fused accounting (records = groups, queries_per_sec spans all wire
+    batches)."""
+    import socket
+
+    cfg = fr.get_config("micro_test", batch_size=8)
+    B, NB, FUSE = 8, 6, 2
+    tables = ref.init_tables(cfg, scheme="rowid")
+    ws = ref.init_mlp_weights(cfg, scheme="uniform")
+    model, params = init_model(cfg, tables_np=tables, mlp_np=ws)
+    eng = ServingEngine.from_model(model, params, batch_size=B, fuse=FUSE)
+    wire = IndexWireFormat.plan(cfg, B, 3)
+
+    rng = np.random.default_rng(2)
+    batches = []
+    for _ in range(NB):
+        idx = np.stack([rng.integers(0, t.rows, B) for t in cfg.tables], 1).astype(np.int32)
+        dense = rng.uniform(-1, 1, (B, cfg.dense_dim)).astype(np.float32)
+        batches.append((idx, dense))
+    streams = [b"" for _ in range(3)]
+    for idx, dense in batches:
+        for s, p in enumerate(wire.payloads(idx, dense)):
+            streams[s] += p
+
+    outs = {}
+    with IngestServer(wire.bytes_per_sender(), n_slots=4, port_base=PORT + 20) as ing:
+        def send(s):
+            sock = socket.create_connection(("127.0.0.1", PORT + 20 + s), timeout=5)
+            sock.sendall(streams[s])
+            sock.close()
+
+        ths = [threading.Thread(target=send, args=(s,), daemon=True) for s in range(3)]
+        for t in ths:
+            t.start()
+        summary = eng.run_from_ingest(
+            ing, NB, mode="index", wire=wire,
+            row_limits=[t.rows for t in cfg.tables],
+            on_done=lambda bid, sc: outs.__setitem__(bid, np.asarray(sc)),
+        )
+        for t in ths:
+            t.join(5)
+    assert summary["batches"] == NB // FUSE  # one record per fused group
+    assert summary["wire_batches"] == NB and summary["fuse"] == FUSE
+    for g in range(NB // FUSE):
+        assert outs[g].shape == (FUSE, B)
+        for k in range(FUSE):
+            idx, dense = batches[g * FUSE + k]
+            golden = ref.forward(cfg, tables, ws, idx, dense)
+            np.testing.assert_allclose(outs[g][k], golden, rtol=1e-4, atol=1e-4)
+
+
+def test_engine_fused_rejects_bad_batch_count():
+    cfg = fr.get_config("micro_test", batch_size=8)
+    tables = ref.init_tables(cfg, scheme="rowid")
+    model, params = init_model(cfg, tables_np=tables)
+    eng = ServingEngine.from_model(model, params, batch_size=8, fuse=4)
+    with pytest.raises(ValueError, match="divide"):
+        eng.run_from_ingest(None, 6, mode="index")
+
+
+def test_cli_serve_loadgen_fused_paced(capsys):
+    """CLI pair at a stated offered load with fused dispatch and score
+    replies — the committed-artifact rig (scripts/serve_e2e.py) in CPU
+    miniature, kept green as a regression test (VERDICT r1 weak #7)."""
+    from fleetrec_tpu.cli import main
+
+    errs = []
+
+    def serve():
+        try:
+            main(["serve", "--config", "micro_test", "--batch", "8",
+                  "--platform", "cpu", "--senders", "3", "--batches", "4",
+                  "--fuse", "2", "--reply", "--bg-drain",
+                  "--port", str(PORT + 30), "--slots", "2"])
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+    main(["loadgen", "--config", "micro_test", "--batch", "8",
+          "--platform", "cpu", "--senders", "3", "--batches", "4",
+          "--qps", "2000", "--read-scores",
+          "--port", str(PORT + 30)])
+    th.join(30)
+    assert not th.is_alive() and not errs, errs
+    out = capsys.readouterr().out
+    assert '"wire_batches": 4' in out and '"fuse": 2' in out
+    assert "scores received: 32" in out  # 4 batches x B=8 replies read back
+
+
 def test_cli_serve_loadgen_three_senders(capsys):
     """The reference run_cuda_server.sh + run_client_sender.sh pair, from
     the CLI: serve --senders 3 in one thread, loadgen --senders 3 in
