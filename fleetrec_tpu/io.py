@@ -198,4 +198,12 @@ def load_orbax(path: str, model, like_params) -> dict:
         out["bottom"] = list(tree["bottom"])
     if "cross" in tree:
         out["cross"] = [list(layer) for layer in tree["cross"]]
+    if "w1_fold" in like_params:
+        # derived from mlp[0] (not checkpointed): re-fold from the restored
+        # W1 and place it on the template's (replicated) sharding
+        from .parallel.sharded import fold_w1
+
+        out["w1_fold"] = jax.device_put(
+            fold_w1(model.layout, out["mlp"][0]), like_params["w1_fold"].sharding
+        )
     return out

@@ -65,6 +65,9 @@ class PlacementPlan:
     # per-chip byte accounting
     onehot_bytes: int          # replicated on every chip
     mlp_bytes: int             # replicated on every chip
+    # permutation-folded W1 ([src_cols, H1], staged once per params by
+    # ShardedFleetRec.shard_params when H1 < feature_dim) — replicated
+    w1_fold_bytes: int
     take_bytes_total: int      # across all shards
     take_bytes_per_chip: int   # row-sharded slice
     activation_bytes: int      # rough per-batch working set (B rows in flight)
@@ -115,6 +118,14 @@ def plan(
     mlp_isz = _ITEMSIZE[cfg.dtype]
     w = cfg.mlp.widths
     mlp_bytes = sum(a * b for a, b in zip(w[:-1], w[1:])) * mlp_isz
+    # W1-fold staging buffer (sharded.py::fold_w1): active exactly when the
+    # sharded forward ships the [B, H1] partial product instead of [B, F]
+    w1_fold_bytes = 0
+    if cfg.interaction == "none" and len(w) >= 2 and w[1] < cfg.feature_dim:
+        n_emb = sum(c.num_tables * c.dim for c in layout.onehot_classes)
+        n_emb += sum(g.num_tables * g.dim for g in layout.take_groups)
+        src_cols = n_emb + cfg.dense_dim + 1
+        w1_fold_bytes = src_cols * w[1] * mlp_isz
 
     phys_total = layout.take_phys_total
     phys_pad = -(-phys_total // n_model) * n_model if phys_total else 0
@@ -167,7 +178,7 @@ def plan(
     act = B * (n_take * layout.take_lanes * isz + (cfg.feature_dim + max(w)) * 4)
     act *= max_in_flight
 
-    replicated = onehot_bytes + mlp_bytes + act
+    replicated = onehot_bytes + mlp_bytes + w1_fold_bytes + act
     per_chip = replicated + take_bytes_per_chip
     fits = per_chip <= hbm_budget_bytes
     avail = hbm_budget_bytes - replicated
@@ -204,6 +215,7 @@ def plan(
         table_dtype=cfg.table_dtype,
         onehot_bytes=onehot_bytes,
         mlp_bytes=mlp_bytes,
+        w1_fold_bytes=w1_fold_bytes,
         take_bytes_total=take_bytes_total,
         take_bytes_per_chip=take_bytes_per_chip,
         activation_bytes=act,

@@ -45,6 +45,28 @@ from ..models.fleetrec import FleetRecModel
 from ..models.mlp import mlp_apply
 
 
+def src_cols(layout) -> int:
+    """Width of the pre-extraction local src vector in _local_forward:
+    all embedding output columns in storage order + dense + 1 zero pad
+    column (padding slots of feature_perm point at the zero column)."""
+    n_emb = sum(c.num_tables * c.dim for c in layout.onehot_classes)
+    n_emb += sum(g.num_tables * g.dim for g in layout.take_groups)
+    return n_emb + layout.dense_dim + 1
+
+
+def fold_w1(layout, W1):
+    """Precompute the permutation-folded first layer A (src @ A ==
+    feats @ W1): A[c] = sum of W1 rows j with feature_perm[j] == c.
+
+    Computed ONCE per params at shard/restore time (the analog of the
+    reference's one-time weight staging, cuda_server.c:349-357) — NOT
+    inside the jitted forward, where the [src_cols, H1] scatter-add
+    (model3: ~32 MB fp32) would otherwise be rebuilt every call;
+    tests/test_hlo.py::test_fold_is_staged_not_per_call pins this."""
+    perm = jnp.asarray(layout.feature_perm, dtype=jnp.int32)
+    return jnp.zeros((src_cols(layout), W1.shape[1]), W1.dtype).at[perm].add(W1)
+
+
 class ShardedFleetRec:
     """Wrap a FleetRecModel with mesh shardings and compiled SPMD steps."""
 
@@ -86,7 +108,12 @@ class ShardedFleetRec:
             out["bottom"] = [repl for _ in params["bottom"]]
         if "cross" in params:
             out["cross"] = jax.tree_util.tree_map(lambda _: repl, params["cross"])
+        if "w1_fold" in params:
+            out["w1_fold"] = repl
         return out
+
+    def fold_w1(self, W1):
+        return fold_w1(self.model.layout, W1)
 
     def data_shardings(self):
         return NamedSharding(self.mesh, P("data", None))
@@ -103,6 +130,8 @@ class ShardedFleetRec:
                 take = jnp.pad(take, ((0, pad), (0, 0)))
         tables = dataclasses.replace(tables, take_buffer=take)
         params = {**params, "tables": tables}
+        if self._use_w1_fold:
+            params["w1_fold"] = self.fold_w1(params["mlp"][0])
         return jax.device_put(params, self.param_shardings(params))
 
     def shard_batch(self, indices, dense=None):
@@ -199,9 +228,10 @@ class ShardedFleetRec:
             # feature psum whenever H1 < F (model3: 2048 < 3968), at zero
             # extra FLOPs: the first matmul already runs on every shard
             # (post-psum, replicated); this moves it before the psum.
+            # A is staged once per params by shard_params -> fold_w1 (the
+            # scatter-add must NOT run per call; see fold_w1 docstring).
             dtype = jnp.dtype(model.cfg.dtype)
-            W1 = params["mlp"][0]
-            A = jnp.zeros((src.shape[1], W1.shape[1]), W1.dtype).at[perm].add(W1)
+            A = params["w1_fold"]
             x = src.astype(dtype)
             part = jnp.dot(x, A.astype(x.dtype),
                            preferred_element_type=jnp.float32,
@@ -268,6 +298,8 @@ class ShardedFleetRec:
                 specs["cross"] = jax.tree_util.tree_map(
                     lambda _: P(), params_like["cross"]
                 )
+            if "w1_fold" in params_like:
+                specs["w1_fold"] = P(None, None)
             return specs
 
         local = self._local_forward
@@ -308,9 +340,15 @@ class ShardedFleetRec:
             )
 
         def step(params, indices, dense, labels, lr):
+            # w1_fold is DERIVED from mlp[0]: keep it out of the grad tree
+            # and re-fold from the updated W1 so serving after training
+            # never sees a stale fold.
+            core = {k: v for k, v in params.items() if k != "w1_fold"}
             indices = jax.lax.with_sharding_constraint(indices, batch)
-            loss, grads = jax.value_and_grad(loss_fn)(params, indices, dense, labels)
-            new_params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
+            loss, grads = jax.value_and_grad(loss_fn)(core, indices, dense, labels)
+            new_params = jax.tree_util.tree_map(lambda p, g: p - lr * g, core, grads)
+            if "w1_fold" in params:
+                new_params["w1_fold"] = self.fold_w1(new_params["mlp"][0])
             return loss, new_params
 
         return jax.jit(step, donate_argnums=(0,))

@@ -346,8 +346,10 @@ class ServingEngine:
             def on_done(bid, scores, _u=user_on_done):
                 out = np.asarray(scores, dtype=np.float32)
                 # fused groups reply per wire-batch ([K, B] -> K sends) so
-                # consumers see the same stream framing at any fuse level
-                for sub in (out if out.ndim == 2 else [out]):
+                # consumers see the same stream framing at any fuse level;
+                # branch on the engine's fuse setting, not array rank — a
+                # future 2-D per-batch score (multi-head) must NOT be split
+                for sub in (out if fuse > 1 else [out]):
                     if reply_to is not None:
                         ingest.reply(reply_to, sub)
                     if scatter is not None:

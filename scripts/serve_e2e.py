@@ -68,9 +68,16 @@ def run_pair(config, batch, batches, senders, fuse, qps, port, platform):
     if qps:
         loadgen_cmd += ["--qps", str(qps)]
     t0 = time.time()
-    lg = subprocess.run(loadgen_cmd, capture_output=True, text=True, env=env,
-                        timeout=600)
-    out, _ = serve.communicate(timeout=300)
+    try:
+        lg = subprocess.run(loadgen_cmd, capture_output=True, text=True, env=env,
+                            timeout=600)
+        out, _ = serve.communicate(timeout=300)
+    except Exception:
+        # loadgen hung/timed out (or serve died mid-run): never leak the
+        # serve process — it holds the tunneled TPU
+        serve.kill()
+        serve.wait()
+        raise
     lines.append(out)
     if serve.returncode != 0 or lg.returncode != 0:
         raise RuntimeError(f"serve rc={serve.returncode} loadgen rc={lg.returncode}\n"

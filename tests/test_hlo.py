@@ -99,6 +99,45 @@ def test_model3_fold_allreduce_is_h1_not_feature():
     assert B_loc * 3968 not in shapes
 
 
+def test_fold_is_staged_not_per_call():
+    # The [src_cols, H1] fold matrix A is built ONCE by shard_params
+    # (fold_w1) — the compiled forward must contain NO scatter(-add) at
+    # all (the old per-call `zeros.at[perm].add(W1)` lowered to one); the
+    # staged A arrives as a parameter instead (VERDICT r2 #7).
+    cfg = C.micro_test(batch_size=32)
+    sh, model, txt = _compile_forward(cfg, data=1, model_ax=8)
+    assert sh._use_w1_fold
+    assert "scatter(" not in txt and "scatter-add" not in txt, (
+        "per-call scatter found in sharded forward HLO — the W1 fold must "
+        "be staged by shard_params, not rebuilt every call")
+
+
+def test_train_step_refreshes_fold():
+    # After a train step updates W1, the re-folded A must equal
+    # fold_w1(new W1) — a stale fold would silently skew every subsequent
+    # sharded forward.
+    import jax
+
+    cfg = C.micro_test(batch_size=32)
+    model, params = init_model(cfg, table_scheme="uniform", mlp_scheme="uniform")
+    mesh = make_mesh(data=2, model=4)
+    sh = ShardedFleetRec(model, mesh)
+    sp = sh.shard_params(params)
+    assert "w1_fold" in sp
+    rng = np.random.default_rng(3)
+    idx = np.stack([rng.integers(0, t.rows, 32) for t in cfg.tables], 1).astype(np.int32)
+    dense = rng.uniform(-1, 1, (32, cfg.dense_dim)).astype(np.float32)
+    labels = rng.integers(0, 2, (32,)).astype(np.float32)
+    si, sd = sh.shard_batch(jnp.asarray(idx), jnp.asarray(dense))
+    w1_before = np.asarray(sp["mlp"][0])  # sp is donated by train_step
+    _, new_params = sh.train_step(sp, si, sd, jnp.asarray(labels), 0.1)
+    want = np.asarray(sh.fold_w1(new_params["mlp"][0]))
+    got = np.asarray(new_params["w1_fold"])
+    assert np.array_equal(got, want)
+    # and W1 actually moved, so the refresh is load-bearing
+    assert not np.array_equal(np.asarray(new_params["mlp"][0]), w1_before)
+
+
 @pytest.mark.parametrize("data,model_ax", [(1, 8), (2, 4)])
 def test_fold_path_bitexact_on_parity_data(data, model_ax):
     # pm1 tables + all-ones W: every partial sum is a small integer, so the
