@@ -71,13 +71,46 @@ def cmd_serve(args):
     with indices on the wire — sender 0 ships the dense slice (the CPU0
     analog, when dense_dim > 0), the others int32 indices for contiguous
     config-order table ranges (the FPGA-shard analogs), each on port
-    base+s, assembled at fixed slot offsets (serving/wire.py)."""
+    base+s, assembled at fixed slot offsets (serving/wire.py).
+
+    --mesh D,M: serve through the SHARDED engine (tables row-sharded over
+    M model shards, batch over D data shards) instead of the single-chip
+    program — the flagship multi-chip deployment.  With --procs N /
+    --proc-id I / --coordinator host:port, every process runs this same
+    command over one jax.distributed global mesh; each process's ingest
+    tier owns --batch LOCAL rows of the D*... global batch and replies its
+    own rows' scores (the reference's multi-node run_cuda_server.sh order:
+    server + per-node senders, each node owning a byte range,
+    constant.h:25-27)."""
     from .serving import IndexWireFormat, IngestServer, ScatterEgress, ServingEngine
 
+    multiproc = args.procs > 1
+    if multiproc:
+        if not args.mesh:
+            raise SystemExit("--procs requires --mesh D,M")
+        import jax
+
+        # must run before ANY device use (backend init): rendezvous first,
+        # then _build's device_put sees the global device set
+        jax.distributed.initialize(args.coordinator, num_processes=args.procs,
+                                   process_id=args.proc_id)
     cfg, model, params, _ = _build(args)
-    eng = ServingEngine.from_model(model, params, batch_size=args.batch,
-                                   background_drain=args.bg_drain,
-                                   fuse=args.fuse)
+    if args.mesh:
+        from .parallel import ShardedFleetRec
+        from .parallel.multihost import global_mesh
+
+        D, M = (int(x) for x in args.mesh.split(","))
+        mesh = global_mesh(data=D, model=M)
+        sh = ShardedFleetRec(model, mesh)
+        sparams = sh.shard_params(params)
+        eng = ServingEngine.from_sharded(sh, sparams, batch_size=args.batch,
+                                         background_drain=args.bg_drain,
+                                         fuse=args.fuse,
+                                         multiprocess=multiproc)
+    else:
+        eng = ServingEngine.from_model(model, params, batch_size=args.batch,
+                                       background_drain=args.bg_drain,
+                                       fuse=args.fuse)
     if args.warm:
         t0 = time.time()
         eng.warmup()
@@ -510,6 +543,16 @@ def main(argv=None):
                    help="compile the scoring program on dummy data before "
                    "accepting traffic (keeps XLA compile out of the "
                    "latency records)")
+    s.add_argument("--mesh", default="",
+                   help="D,M — serve through the sharded engine on a "
+                   "(data=D, model=M) device mesh")
+    s.add_argument("--procs", type=int, default=1,
+                   help="multi-host serving: total jax.distributed "
+                   "processes (each runs its own serve with its own "
+                   "ingest ports; --batch is rows PER PROCESS)")
+    s.add_argument("--proc-id", type=int, default=0)
+    s.add_argument("--coordinator", default="localhost:29500",
+                   help="jax.distributed coordinator address (--procs > 1)")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("loadgen", parents=[common])

@@ -151,25 +151,82 @@ class ServingEngine:
 
     @classmethod
     def from_sharded(cls, sharded, params, batch_size: int, max_in_flight: int = 2,
-                     background_drain: bool = False):
+                     background_drain: bool = False, fuse: int = 1,
+                     multiprocess: bool = False):
         """Serve through a ShardedFleetRec on a multi-chip mesh — the analog
         of the reference's scatter tier (scatter_krnl fanning one embedding
         stream out to up to 11 scoring nodes, scatter.cpp:116-235): one
         ingest point, batch sharded over the "data" axis, tables over
-        "model"."""
+        "model".
+
+        multiprocess=True: the multi-HOST deployment (run_cuda_server.sh
+        analog) — every process runs this same engine over a jax.distributed
+        global mesh; ``batch_size`` is this process's LOCAL rows of the
+        global batch, assembled via host_local_batch_to_global, and the
+        returned scores are this process's local rows only (each host
+        replies to its own senders).  All processes must submit batches in
+        lockstep (the forward is a collective program) — the same
+        cross-sender batch synchronization the reference's spin-wait rings
+        enforce (measure_.../cuda_server.c:539-601).
+
+        fuse=K > 1 (single-process only): K ingest batches per device call
+        as one lax.scan over the sharded forward."""
+        import jax
         import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
         model = sharded.model
 
-        def score(indices_np, dense_np):
-            i, d = sharded.shard_batch(
-                jnp.asarray(indices_np),
-                None if dense_np is None else jnp.asarray(dense_np),
+        if multiprocess:
+            if fuse > 1:
+                raise ValueError("fuse is single-process only (the lockstep "
+                                 "contract is per wire batch)")
+            from ..parallel.multihost import (
+                global_scores_to_host_local,
+                host_local_batch_to_global,
             )
-            return sharded.forward(params, i, d)
 
-        return cls(score, model.cfg.num_tables, model.cfg.dense_dim, batch_size,
-                   max_in_flight, background_drain)
+            mesh = sharded.mesh
+
+            def score(indices_np, dense_np):
+                gi = host_local_batch_to_global(mesh, np.ascontiguousarray(indices_np))
+                gd = (None if dense_np is None
+                      else host_local_batch_to_global(mesh, np.ascontiguousarray(dense_np)))
+                out = sharded.forward(params, gi, gd)
+                return global_scores_to_host_local(out)
+        elif fuse > 1:
+            spec3 = NamedSharding(sharded.mesh, P(None, "data", None))
+
+            @jax.jit
+            def scan_i(p, idx):
+                return jax.lax.scan(
+                    lambda c, i: (c, sharded.forward(p, i, None)), 0, idx)[1]
+
+            @jax.jit
+            def scan_id(p, idx, dense):
+                return jax.lax.scan(
+                    lambda c, x: (c, sharded.forward(p, x[0], x[1])), 0,
+                    (idx, dense))[1]
+
+            def score(indices_np, dense_np):
+                i = jax.device_put(jnp.asarray(indices_np), spec3)
+                if dense_np is None:
+                    return scan_i(params, i)
+                return scan_id(params, i,
+                               jax.device_put(jnp.asarray(dense_np), spec3))
+        else:
+
+            def score(indices_np, dense_np):
+                i, d = sharded.shard_batch(
+                    jnp.asarray(indices_np),
+                    None if dense_np is None else jnp.asarray(dense_np),
+                )
+                return sharded.forward(params, i, d)
+
+        eng = cls(score, model.cfg.num_tables, model.cfg.dense_dim, batch_size,
+                  max_in_flight, background_drain)
+        eng.fuse = fuse
+        return eng
 
     @classmethod
     def mlp_only(cls, model, params, batch_size: int, max_in_flight: int = 2,

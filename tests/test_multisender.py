@@ -197,6 +197,65 @@ def test_cli_serve_loadgen_fused_paced(capsys):
     assert "scores received: 32" in out  # 4 batches x B=8 replies read back
 
 
+def test_cli_serve_mesh_sharded_engine(capsys):
+    """`serve --mesh 2,4` must build ServingEngine.from_sharded (tables
+    row-sharded over 4 model shards, batch over 2 data shards) and serve
+    real TCP traffic through the shard_map forward (VERDICT r2 #2/#4: the
+    sharded engine reachable from the CLI, not only pytest fixtures)."""
+    from fleetrec_tpu.cli import main
+
+    errs = []
+
+    def serve():
+        try:
+            main(["serve", "--config", "micro_test", "--batch", "8",
+                  "--platform", "cpu", "--senders", "3", "--batches", "4",
+                  "--mesh", "2,4", "--reply",
+                  "--port", str(PORT + 40), "--slots", "2"])
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+    main(["loadgen", "--config", "micro_test", "--batch", "8",
+          "--platform", "cpu", "--senders", "3", "--batches", "4",
+          "--read-scores", "--port", str(PORT + 40)])
+    th.join(60)
+    assert not th.is_alive() and not errs, errs
+    out = capsys.readouterr().out
+    assert '"batches": 4' in out
+    assert "scores received: 32" in out
+
+
+def test_sharded_engine_fused_dispatch_oracle():
+    """from_sharded(fuse=2) on an in-process (1,8) mesh: two wire batches
+    per device call through the shard_map forward, oracle-exact."""
+    from fleetrec_tpu.parallel import ShardedFleetRec, make_mesh
+
+    cfg = fr.get_config("micro_test", batch_size=8)
+    B, NB, FUSE = 8, 4, 2
+    tables = ref.init_tables(cfg, scheme="rowid")
+    ws = ref.init_mlp_weights(cfg, scheme="uniform")
+    model, params = init_model(cfg, tables_np=tables, mlp_np=ws)
+    mesh = make_mesh(data=8, model=1)
+    sh = ShardedFleetRec(model, mesh)
+    sp = sh.shard_params(params)
+    eng = ServingEngine.from_sharded(sh, sp, batch_size=B, fuse=FUSE)
+
+    rng = np.random.default_rng(5)
+    outs = {}
+    for g in range(NB // FUSE):
+        idx = np.stack(
+            [rng.integers(0, t.rows, (FUSE, B)) for t in cfg.tables], 2
+        ).astype(np.int32)
+        dense = rng.uniform(-1, 1, (FUSE, B, cfg.dense_dim)).astype(np.float32)
+        eng.submit(idx, dense, on_done=lambda bid, sc: outs.__setitem__(bid, np.asarray(sc)))
+        eng.drain()
+        for k in range(FUSE):
+            golden = ref.forward(cfg, tables, ws, idx[k], dense[k])
+            np.testing.assert_allclose(outs[g][k], golden, rtol=1e-4, atol=1e-3)
+
+
 def test_cli_serve_loadgen_three_senders(capsys):
     """The reference run_cuda_server.sh + run_client_sender.sh pair, from
     the CLI: serve --senders 3 in one thread, loadgen --senders 3 in
