@@ -374,6 +374,8 @@ def cmd_netbench(args):
             "GB_s": round(total / dt / 1e9, 3),
             "batch_assembly_ms_p50": round(float(np.percentile(lat, 50)), 3),
             "batch_assembly_ms_p99": round(float(np.percentile(lat, 99)), 3),
+            # per-sender rx counters (network_stack.sv:1049-1100 analog)
+            "per_sender": ing.sender_stats(),
         }))
 
 

@@ -110,6 +110,17 @@ struct Ingest {
   std::atomic<int64_t> total_batches{0};
   std::atomic<int64_t> bytes_received{0};
   std::atomic<int> error_code{0};
+  // Per-sender observability — the analog of the hardware stack's
+  // per-protocol rx/tx packet counters (network_stack.sv:1049-1100),
+  // which the reference exposes over AXI-Lite for diagnosing a slow or
+  // flapping sender. fills = per-stripe batch-payload completions (divide
+  // by sender_stripes for whole batches); last_fill_ns lets a monitor spot
+  // the stalled sender among healthy ones.
+  std::unique_ptr<std::atomic<int64_t>[]> sender_bytes;
+  std::unique_ptr<std::atomic<int64_t>[]> sender_fills;
+  std::unique_ptr<std::atomic<int64_t>[]> sender_reconnects;
+  std::unique_ptr<std::atomic<int64_t>[]> sender_last_fill_ns;
+  std::vector<int> sender_stripes;    // active stripes per sender
 
   std::mutex mu;
   std::condition_variable cv_ready;   // consumer waits for a ready slot
@@ -146,6 +157,7 @@ void stripe_thread(Ingest* ing, int stripe_idx) {
   const Stripe& st = ing->stripes[stripe_idx];
   int listen_fd = ing->listen_fds[stripe_idx];
   int64_t batch = 0;
+  int accepts = 0;
 
   while (!ing->stop.load(std::memory_order_relaxed)) {
     sockaddr_in cli{};
@@ -156,6 +168,8 @@ void stripe_thread(Ingest* ing, int stripe_idx) {
         ing->error_code.store(-errno);
       return;
     }
+    if (accepts++ > 0)
+      ing->sender_reconnects[st.sender].fetch_add(1, std::memory_order_relaxed);
     int one = 1;
     setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
     if (st.conn == 0)
@@ -207,6 +221,11 @@ bool run_connection(Ingest* ing, const Stripe& st, int fd, int64_t* batch_io) {
       return !ing->stop.load(std::memory_order_relaxed);
     }
     ing->bytes_received.fetch_add((int64_t)nbytes, std::memory_order_relaxed);
+    ing->sender_bytes[st.sender].fetch_add((int64_t)nbytes,
+                                           std::memory_order_relaxed);
+    ing->sender_fills[st.sender].fetch_add(1, std::memory_order_relaxed);
+    ing->sender_last_fill_ns[st.sender].store(now_ns(),
+                                              std::memory_order_relaxed);
     // Record earliest first-byte across stripes (the reference stamps at
     // first recv byte per sender, cuda_server.c:519).
     int64_t prev = ss.first_byte_ns.load(std::memory_order_relaxed);
@@ -257,6 +276,16 @@ void* ing_create_mc(int n_senders, const int64_t* bytes_per_sender,
   ing->live_fds = std::make_unique<std::atomic<int>[]>(n_senders);
   for (int s = 0; s < n_senders; ++s) ing->live_fds[s].store(-1);
   ing->reply_mus = std::make_unique<std::mutex[]>(n_senders);
+  ing->sender_bytes = std::make_unique<std::atomic<int64_t>[]>(n_senders);
+  ing->sender_fills = std::make_unique<std::atomic<int64_t>[]>(n_senders);
+  ing->sender_reconnects = std::make_unique<std::atomic<int64_t>[]>(n_senders);
+  ing->sender_last_fill_ns = std::make_unique<std::atomic<int64_t>[]>(n_senders);
+  for (int s = 0; s < n_senders; ++s) {
+    ing->sender_bytes[s].store(0);
+    ing->sender_fills[s].store(0);
+    ing->sender_reconnects[s].store(0);
+    ing->sender_last_fill_ns[s].store(0);
+  }
 
   for (int s = 0; s < n_senders; ++s) {
     const size_t nbytes = ing->bytes_per_sender[s];
@@ -278,6 +307,7 @@ void* ing_create_mc(int n_senders, const int64_t* bytes_per_sender,
       }
       ing->stripes.push_back(std::move(st));
     }
+    ing->sender_stripes.push_back(active);
   }
   ing->total_parts = (int)ing->stripes.size();
   return ing;
@@ -394,6 +424,40 @@ int ing_error(void* h) { return ((Ingest*)h)->error_code.load(); }
 // Number of listen ports (active stripes) — for clients that need to know
 // how many connections to open per sender after short-payload clamping.
 int ing_n_stripes(void* h) { return (int)((Ingest*)h)->stripes.size(); }
+
+// --- per-sender observability (network_stack.sv:1049-1100 analog) ---------
+static inline bool bad_sender(Ingest* ing, int s) {
+  return s < 0 || s >= ing->n_senders;
+}
+
+int64_t ing_sender_bytes(void* h, int s) {
+  auto* ing = (Ingest*)h;
+  return bad_sender(ing, s) ? -EINVAL : ing->sender_bytes[s].load();
+}
+
+// Per-stripe batch-payload completions for sender s (divide by
+// ing_sender_stripes for whole batches).
+int64_t ing_sender_fills(void* h, int s) {
+  auto* ing = (Ingest*)h;
+  return bad_sender(ing, s) ? -EINVAL : ing->sender_fills[s].load();
+}
+
+int64_t ing_sender_reconnects(void* h, int s) {
+  auto* ing = (Ingest*)h;
+  return bad_sender(ing, s) ? -EINVAL : ing->sender_reconnects[s].load();
+}
+
+// steady-clock ns of sender s's most recent completed stripe fill (0 =
+// never) — a monitor compares against now to spot the stalled sender.
+int64_t ing_sender_last_fill_ns(void* h, int s) {
+  auto* ing = (Ingest*)h;
+  return bad_sender(ing, s) ? -EINVAL : ing->sender_last_fill_ns[s].load();
+}
+
+int ing_sender_stripes(void* h, int s) {
+  auto* ing = (Ingest*)h;
+  return bad_sender(ing, s) ? -EINVAL : ing->sender_stripes[s];
+}
 
 void ing_stop(void* h) {
   auto* ing = (Ingest*)h;

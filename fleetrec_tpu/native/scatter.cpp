@@ -29,6 +29,7 @@
 #include <deque>
 #include <memory>
 #include <mutex>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -36,6 +37,8 @@ namespace {
 
 struct Consumer {
   int fd = -1;
+  std::string ip;                    // destination, kept for reconnect
+  int port = 0;
   std::thread th;
   std::mutex mu;
   std::condition_variable cv;        // sender waits for work
@@ -43,6 +46,7 @@ struct Consumer {
   std::atomic<bool> dead{false};
   std::atomic<int64_t> sent_blocks{0};
   std::atomic<int64_t> sent_bytes{0};
+  std::atomic<int64_t> reconnects{0};
 };
 
 struct Scatter {
@@ -69,6 +73,35 @@ bool send_all(int fd, const char* p, size_t n) {
   return true;
 }
 
+// Dial ip:port, retrying up to `tries` times 100 ms apart (or until *stop).
+// Returns the connected fd >= 0 or -errno.
+int dial(const char* ip, int port, int tries, const std::atomic<bool>* stop) {
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_port = htons((uint16_t)port);
+  if (inet_pton(AF_INET, ip, &addr.sin_addr) != 1) return -EINVAL;
+  int e = ECONNREFUSED;
+  while (tries-- > 0 && !(stop && stop->load(std::memory_order_relaxed))) {
+    int fd = ::socket(AF_INET, SOCK_STREAM, 0);
+    if (fd < 0) return -errno;
+    if (::connect(fd, (sockaddr*)&addr, sizeof(addr)) == 0) {
+      int one = 1;
+      setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+      return fd;
+    }
+    e = errno;
+    ::close(fd);
+    if (tries > 0) ::usleep(100 * 1000);
+  }
+  return -e;
+}
+
+void mark_dead(Scatter* sc, Consumer* c) {
+  c->dead.store(true, std::memory_order_release);
+  std::lock_guard<std::mutex> lk(sc->rr_mu);
+  sc->rr_cv.notify_all();  // producer must not wait on a dead consumer
+}
+
 void consumer_thread(Scatter* sc, Consumer* c) {
   while (true) {
     std::vector<char> block;
@@ -86,11 +119,26 @@ void consumer_thread(Scatter* sc, Consumer* c) {
       std::lock_guard<std::mutex> lk(sc->rr_mu);
       sc->rr_cv.notify_all();
     }
-    if (!send_all(c->fd, block.data(), block.size())) {
-      c->dead.store(true, std::memory_order_release);
-      std::lock_guard<std::mutex> lk(sc->rr_mu);
-      sc->rr_cv.notify_all();  // producer must not wait on a dead consumer
-      return;
+    // Send, reconnecting on failure — the reference scatter re-arms torn-
+    // down sessions rather than abandoning the destination
+    // (scatter_krnl/src/hls/scatter.cpp:270-276).  The interrupted block is
+    // retransmitted IN FULL on the new connection (consumers treat every
+    // new connection as a fresh block-aligned stream, like the ingest
+    // tier's reconnect-resume).  While this consumer redials, its bounded
+    // queue fills and the round-robin sheds to the others — isolation is
+    // preserved.  ~5 s of refused dials (50 x 100 ms) marks it dead;
+    // scat_reattach can revive it later.
+    while (!send_all(c->fd, block.data(), block.size())) {
+      ::close(c->fd);
+      c->fd = -1;
+      if (sc->stop.load(std::memory_order_relaxed)) return;
+      int fd = dial(c->ip.c_str(), c->port, 50, &sc->stop);
+      if (fd < 0) {
+        mark_dead(sc, c);
+        return;
+      }
+      c->fd = fd;
+      c->reconnects.fetch_add(1, std::memory_order_relaxed);
     }
     c->sent_blocks.fetch_add(1, std::memory_order_relaxed);
     c->sent_bytes.fetch_add((int64_t)block.size(), std::memory_order_relaxed);
@@ -111,32 +159,35 @@ void* scat_create(int queue_blocks) {
 // session, scatter.cpp:116-141). Returns the consumer id >= 0 or -errno.
 int scat_connect(void* h, const char* ip, int port) {
   auto* sc = (Scatter*)h;
-  int fd = ::socket(AF_INET, SOCK_STREAM, 0);
-  if (fd < 0) return -errno;
-  sockaddr_in addr{};
-  addr.sin_family = AF_INET;
-  addr.sin_port = htons((uint16_t)port);
-  if (inet_pton(AF_INET, ip, &addr.sin_addr) != 1) {
-    ::close(fd);
-    return -EINVAL;
-  }
-  int tries = 50;
-  while (::connect(fd, (sockaddr*)&addr, sizeof(addr)) < 0) {
-    if (--tries == 0) {
-      int e = errno;
-      ::close(fd);
-      return -e;
-    }
-    ::usleep(100 * 1000);
-  }
-  int one = 1;
-  setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+  int fd = dial(ip, port, 50, nullptr);
+  if (fd < 0) return fd;
   auto c = std::make_unique<Consumer>();
   c->fd = fd;
+  c->ip = ip;
+  c->port = port;
   Consumer* cp = c.get();
   cp->th = std::thread(consumer_thread, sc, cp);
   sc->consumers.push_back(std::move(c));
   return (int)sc->consumers.size() - 1;
+}
+
+// Revive a dead consumer: redial its stored destination and restart its
+// sender thread (the explicit re-attach path for outages longer than the
+// in-band ~5 s redial window). Returns 0, or -errno if the dial fails
+// (the consumer stays dead and can be reattached again later).
+int scat_reattach(void* h, int consumer) {
+  auto* sc = (Scatter*)h;
+  if (consumer < 0 || consumer >= (int)sc->consumers.size()) return -EINVAL;
+  Consumer* c = sc->consumers[consumer].get();
+  if (!c->dead.load(std::memory_order_acquire)) return 0;
+  if (c->th.joinable()) c->th.join();  // sender thread exited at mark_dead
+  int fd = dial(c->ip.c_str(), c->port, 50, &sc->stop);
+  if (fd < 0) return fd;
+  c->fd = fd;
+  c->reconnects.fetch_add(1, std::memory_order_relaxed);
+  c->dead.store(false, std::memory_order_release);
+  c->th = std::thread(consumer_thread, sc, c);
+  return 0;
 }
 
 // Fan one block out to the next available consumer, round-robin with
@@ -208,6 +259,12 @@ int scat_is_dead(void* h, int consumer) {
 }
 
 int64_t scat_skipped(void* h) { return ((Scatter*)h)->skipped.load(); }
+
+int64_t scat_reconnects(void* h, int consumer) {
+  auto* sc = (Scatter*)h;
+  if (consumer < 0 || consumer >= (int)sc->consumers.size()) return -EINVAL;
+  return sc->consumers[consumer]->reconnects.load();
+}
 
 // Stop after draining queued blocks (each sender exits once its queue is
 // empty and stop is set); then close all connections.

@@ -66,6 +66,12 @@ def _load():
         lib.ing_bytes_received.argtypes = [ctypes.c_void_p]
         lib.ing_error.restype = ctypes.c_int
         lib.ing_error.argtypes = [ctypes.c_void_p]
+        for fn in ("ing_sender_bytes", "ing_sender_fills",
+                   "ing_sender_reconnects", "ing_sender_last_fill_ns"):
+            getattr(lib, fn).restype = ctypes.c_int64
+            getattr(lib, fn).argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.ing_sender_stripes.restype = ctypes.c_int
+        lib.ing_sender_stripes.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.ing_stop.argtypes = [ctypes.c_void_p]
         lib.ing_destroy.argtypes = [ctypes.c_void_p]
         lib.loadgen_run.restype = ctypes.c_int64
@@ -95,6 +101,10 @@ def _load():
         lib.scat_is_dead.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.scat_skipped.restype = ctypes.c_int64
         lib.scat_skipped.argtypes = [ctypes.c_void_p]
+        lib.scat_reconnects.restype = ctypes.c_int64
+        lib.scat_reconnects.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.scat_reattach.restype = ctypes.c_int
+        lib.scat_reattach.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.scat_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
     return _lib
@@ -173,6 +183,30 @@ class IngestServer:
     def bytes_received(self) -> int:
         return self._lib.ing_bytes_received(self._h)
 
+    def sender_stats(self) -> list:
+        """Per-sender rx observability — the analog of the hardware stack's
+        per-protocol packet counters (network_stack.sv:1049-1100): bytes,
+        completed batches (stripe fills / active stripes), reconnects, and
+        ns since the last completed stripe fill (None = never filled) for
+        spotting the slow/flapping sender."""
+        import time
+
+        now = time.monotonic_ns()
+        out = []
+        for s in range(self.n_senders):
+            stripes = self._lib.ing_sender_stripes(self._h, s)
+            fills = self._lib.ing_sender_fills(self._h, s)
+            last = self._lib.ing_sender_last_fill_ns(self._h, s)
+            out.append({
+                "sender": s,
+                "bytes": self._lib.ing_sender_bytes(self._h, s),
+                "stripes": stripes,
+                "batches": fills // max(stripes, 1),
+                "reconnects": self._lib.ing_sender_reconnects(self._h, s),
+                "ns_since_last_fill": (now - last) if last else None,
+            })
+        return out
+
     def close(self):
         if self._h:
             self._lib.ing_destroy(self._h)
@@ -224,6 +258,16 @@ class ScatterEgress:
         return self._lib.scat_send_to(
             self._h, consumer, arr.ctypes.data_as(ctypes.c_void_p), arr.nbytes)
 
+    def reattach(self, consumer: int) -> None:
+        """Revive a dead consumer by redialing its stored destination and
+        restarting its sender thread (for outages longer than the in-band
+        ~5 s redial window — the reference's session re-arm,
+        scatter.cpp:270-276). Raises if the dial fails (the consumer stays
+        dead; retry later)."""
+        rc = self._lib.scat_reattach(self._h, consumer)
+        if rc != 0:
+            raise OSError(-rc, f"scatter reattach failed: {os.strerror(-rc)}")
+
     def stats(self) -> dict:
         return {
             "per_consumer_blocks": [self._lib.scat_sent_blocks(self._h, c)
@@ -232,6 +276,8 @@ class ScatterEgress:
                                    for c in range(self.n_consumers)],
             "dead": [bool(self._lib.scat_is_dead(self._h, c))
                      for c in range(self.n_consumers)],
+            "reconnects": [self._lib.scat_reconnects(self._h, c)
+                           for c in range(self.n_consumers)],
             "skipped": self._lib.scat_skipped(self._h),
         }
 

@@ -58,6 +58,50 @@ def test_three_sender_fixed_offsets():
             ing.release(slot)
 
 
+def test_per_sender_counters():
+    """Per-sender rx observability (VERDICT r2 #8 — the hardware stack's
+    per-protocol counter analog, network_stack.sv:1049-1100): bytes and
+    batches accounted per sender, reconnects counted when a sender drops
+    and a replacement connects, last-fill timestamps distinguish the
+    stalled sender."""
+    import socket
+    import threading
+
+    B, widths = 4, [16, 64]
+    nbytes = [B * w * 4 for w in widths]
+    with IngestServer(nbytes, n_slots=4, port_base=PORT + 90) as ing:
+        def sender0_flapping():
+            # batch 0 on one connection, then drop and reconnect for batch 1
+            s = socket.create_connection(("127.0.0.1", PORT + 90), timeout=5)
+            s.sendall(np.full(B * 16, 1.0, np.float32).tobytes())
+            s.close()
+            time.sleep(0.3)
+            s = socket.create_connection(("127.0.0.1", PORT + 90), timeout=5)
+            s.sendall(np.full(B * 16, 1.0, np.float32).tobytes())
+            s.close()
+
+        def sender1():
+            s = socket.create_connection(("127.0.0.1", PORT + 91), timeout=5)
+            for _ in range(2):
+                s.sendall(np.full(B * 64, 2.0, np.float32).tobytes())
+            s.close()
+
+        threading.Thread(target=sender0_flapping, daemon=True).start()
+        threading.Thread(target=sender1, daemon=True).start()
+        for _ in range(2):
+            r = ing.acquire(5000)
+            assert r is not None
+            ing.release(r[0])
+        stats = ing.sender_stats()
+    assert stats[0]["bytes"] == 2 * nbytes[0]
+    assert stats[1]["bytes"] == 2 * nbytes[1]
+    assert stats[0]["batches"] == 2 and stats[1]["batches"] == 2
+    assert stats[0]["reconnects"] >= 1  # the flap was observed
+    assert stats[1]["reconnects"] == 0
+    assert stats[0]["ns_since_last_fill"] is not None
+    assert stats[1]["ns_since_last_fill"] is not None
+
+
 def test_ring_backpressure():
     """More batches than slots: writers must block until release, nothing
     overwritten (the bug class the reference's spin-wait code risked)."""

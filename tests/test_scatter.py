@@ -220,6 +220,91 @@ def test_engine_scatter_egress_end_to_end():
             "a batch's scores never reached any consumer"
 
 
+def test_consumer_reconnect_mid_stream():
+    """Kill a consumer mid-stream and restart it on the same port: the
+    sender thread redials in-band (the reference's session re-arm,
+    scatter.cpp:270-276) and delivery resumes — the consumer is NOT shed
+    forever on one EPIPE (VERDICT r2 #8). The block interrupted by the
+    drop is retransmitted in full on the new connection."""
+    B = 64
+    nbytes = B * 4
+    first = _Consumer(PORT + 60, nbytes)
+    first.start()
+    with ScatterEgress(queue_blocks=4) as eg:
+        eg.connect("127.0.0.1", PORT + 60)
+        for i in range(5):
+            eg.send(np.full(B, float(i), np.float32))
+        deadline = time.time() + 5
+        while time.time() < deadline and len(first.blocks) < 5:
+            time.sleep(0.02)
+        assert len(first.blocks) == 5
+        # kill the consumer (conn + listener closed), then restart on the
+        # same port before the ~5 s redial window expires
+        first.stop = True
+        first.join(5)
+        second = _Consumer(PORT + 60, nbytes)
+        second.start()
+        for i in range(5, 15):
+            eg.send(np.full(B, float(i), np.float32))
+            time.sleep(0.05)  # let the sender thread hit the RST + redial
+        # blocks flushed into the dead socket's kernel buffer before the
+        # RST surfaced are lost (same as any TCP peer crash); everything
+        # after the redial must arrive, including the final block
+        deadline = time.time() + 10
+        while time.time() < deadline and len(second.blocks) < 8:
+            time.sleep(0.05)
+        stats = eg.stats()
+    second.stop = True
+    assert stats["reconnects"][0] >= 1, stats
+    assert not stats["dead"][0], stats
+    assert len(second.blocks) >= 8, len(second.blocks)
+    vals = sorted(int(b[0]) for b in second.blocks)
+    assert vals[-1] == 14  # the stream genuinely resumed to the end
+    for b in second.blocks:
+        assert np.all(b == b[0])  # block-aligned: no torn/partial blocks
+
+
+def test_dead_consumer_reattach():
+    """An outage longer than the redial window marks the consumer dead;
+    scat_reattach revives it once the destination is back."""
+    import pytest
+
+    B = 32
+    nbytes = B * 4
+    c0 = _Consumer(PORT + 70, nbytes)
+    c0.start()
+    with ScatterEgress(queue_blocks=2) as eg:
+        eg.connect("127.0.0.1", PORT + 70)
+        eg.send(np.zeros(B, np.float32))
+        c0.stop = True
+        c0.join(5)
+        # reattach against a down destination fails cleanly (stays dead)
+        # NOTE: the consumer may not be marked dead yet (the sender thread
+        # only notices on its next send) — force detection first
+        deadline = time.time() + 8
+        while time.time() < deadline and not eg.stats()["dead"][0]:
+            try:
+                eg.send(np.zeros(B, np.float32))
+            except OSError:  # no live consumers remain
+                pass
+            time.sleep(0.1)
+        # in-band redial (50x100ms) must exhaust against the closed port
+        assert eg.stats()["dead"][0]
+        with pytest.raises(OSError):
+            eg.reattach(0)
+        c1 = _Consumer(PORT + 70, nbytes)
+        c1.start()
+        eg.reattach(0)
+        assert not eg.stats()["dead"][0]
+        for i in range(3):
+            eg.send(np.full(B, float(i), np.float32))
+        deadline = time.time() + 5
+        while time.time() < deadline and len(c1.blocks) < 3:
+            time.sleep(0.05)
+    c1.stop = True
+    assert len(c1.blocks) >= 3
+
+
 def test_send_to_targeted_backpressure():
     """send_to reports -EAGAIN on a full queue instead of blocking."""
     import errno
