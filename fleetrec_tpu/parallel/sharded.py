@@ -142,8 +142,11 @@ class ShardedFleetRec:
         return indices, dense
 
     # ---- the SPMD forward ----------------------------------------------
-    def _local_forward(self, params, indices, dense):
-        """Per-device function under shard_map.
+    def _local_pre(self, params, indices, dense):
+        """Everything BEFORE the exchange, per device under shard_map:
+        local gather + sub-row extraction and (fold path) the local
+        W1-partial product.  Returns the per-shard psum operand — [B, H1]
+        (fold) or the extracted [B, F] feature vector (fallback).
 
         indices: local batch rows [B_loc, T] in config order; take buffer
         local row-range; onehot buffers + mlp replicated."""
@@ -233,10 +236,21 @@ class ShardedFleetRec:
             dtype = jnp.dtype(model.cfg.dtype)
             A = params["w1_fold"]
             x = src.astype(dtype)
-            part = jnp.dot(x, A.astype(x.dtype),
+            return jnp.dot(x, A.astype(x.dtype),
                            preferred_element_type=jnp.float32,
                            precision=model.cfg.matmul_precision)
-            h = jax.lax.psum(part, "model")
+
+        # fallback pre-psum value: interaction heads need the actual
+        # feature vector, and F < H1 configs move fewer bytes this way
+        return jnp.take(src, perm, axis=1)
+
+    def _local_post(self, params, h, dense):
+        """Everything AFTER the exchange: consumes the psum'd [B, H1]
+        partial activations (fold) or [B, F] feature vector (fallback),
+        replicated per model-shard."""
+        model = self.model
+        if self._use_w1_fold:
+            dtype = jnp.dtype(model.cfg.dtype)
             rest = params["mlp"][1:]
             if model.cfg.mlp.activation == "relu" and rest:
                 h = jnp.maximum(h, 0.0)
@@ -247,12 +261,7 @@ class ShardedFleetRec:
                                precision=model.cfg.matmul_precision)
             return scores[:, 0]
 
-        feats = jnp.take(src, perm, axis=1)
-        # THE exchange (fallback: interaction heads need the actual feature
-        # vector, and F < H1 configs move fewer bytes this way): one psum
-        # of the extracted [B, F] feature vector.
-        feats = jax.lax.psum(feats, "model")
-
+        feats = h
         if model.cfg.interaction == "dot":
             # DLRM head (bottom MLP + pairwise dots + top MLP) runs on the
             # psum'd [B, T*D] embeddings, replicated per data-shard.
@@ -274,34 +283,85 @@ class ShardedFleetRec:
                            precision=model.cfg.matmul_precision)
         return scores[:, 0]
 
+    def _local_forward(self, params, indices, dense):
+        """pre -> THE exchange (ONE psum) -> post, per device."""
+        part = self._local_pre(params, indices, dense)
+        h = jax.lax.psum(part, "model")
+        return self._local_post(params, h, dense)
+
+    def _local_pipelined(self, params, indices, dense):
+        """Software-double-buffered K-batch serving step, per device:
+        iteration k psums batch k-1's partial while computing batch k's
+        local gather+partial — the two are data-independent inside one
+        scan step, so the scheduler overlaps the collective with the next
+        batch's compute (async all-reduce-start/done; the ICI-overlap
+        assumption of docs/DESIGN.md's v5e-16 projection, pinned by
+        tests/test_hlo.py).  The reference decouples receive from compute
+        the same way with its ring + dedicated receiver threads
+        (measure_.../cuda_server.c:119-240).
+
+        indices: [K, B_loc, T] local batch rows; returns [K, B_loc]."""
+        has_dense = dense is not None
+        d0 = dense[0] if has_dense else None
+        part0 = self._local_pre(params, indices[0], d0)
+
+        head = None
+        if indices.shape[0] > 1:
+            if has_dense:
+                def body(carry, x):
+                    part_prev, dense_prev = carry
+                    h = jax.lax.psum(part_prev, "model")
+                    scores_prev = self._local_post(params, h, dense_prev)
+                    part_k = self._local_pre(params, x[0], x[1])
+                    return (part_k, x[1]), scores_prev
+
+                (part_last, dense_last), head = jax.lax.scan(
+                    body, (part0, d0), (indices[1:], dense[1:]))
+            else:
+                def body_nd(part_prev, idx_k):
+                    h = jax.lax.psum(part_prev, "model")
+                    scores_prev = self._local_post(params, h, None)
+                    part_k = self._local_pre(params, idx_k, None)
+                    return part_k, scores_prev
+
+                part_last, head = jax.lax.scan(body_nd, part0, indices[1:])
+                dense_last = None
+        else:
+            part_last, dense_last = part0, d0
+        h = jax.lax.psum(part_last, "model")
+        s_last = self._local_post(params, h, dense_last)
+        if head is None:
+            return s_last[None]
+        return jnp.concatenate([head, s_last[None]], axis=0)
+
+    # Build in_specs as a pytree matching the params dict.
+    def _make_specs(self, params_like):
+        pt = params_like["tables"]
+        oh = [P(None, None, None) for _ in pt.onehot_buffers]
+        leaves = oh + ([P("model", None)] if pt.take_buffer is not None else [])
+        if pt.onehot_scales is not None:
+            leaves += [P(None, None, None) for _ in pt.onehot_scales]
+            if pt.take_scales is not None:
+                leaves.append(P(None))
+        tables = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(pt), leaves
+        )
+        mlp = [P(None, None) for _ in params_like["mlp"]]
+        specs = {"tables": tables, "mlp": mlp}
+        if "bottom" in params_like:
+            specs["bottom"] = [P(None, None) for _ in params_like["bottom"]]
+        if "cross" in params_like:
+            specs["cross"] = jax.tree_util.tree_map(
+                lambda _: P(), params_like["cross"]
+            )
+        if "w1_fold" in params_like:
+            specs["w1_fold"] = P(None, None)
+        return specs
+
     @cached_property
     def forward(self):
         mesh = self.mesh
-
-        # Build in_specs as a pytree matching (params, indices, dense).
-        def make_specs(params_like):
-            pt = params_like["tables"]
-            oh = [P(None, None, None) for _ in pt.onehot_buffers]
-            leaves = oh + ([P("model", None)] if pt.take_buffer is not None else [])
-            if pt.onehot_scales is not None:
-                leaves += [P(None, None, None) for _ in pt.onehot_scales]
-                if pt.take_scales is not None:
-                    leaves.append(P(None))
-            tables = jax.tree_util.tree_unflatten(
-                jax.tree_util.tree_structure(pt), leaves
-            )
-            mlp = [P(None, None) for _ in params_like["mlp"]]
-            specs = {"tables": tables, "mlp": mlp}
-            if "bottom" in params_like:
-                specs["bottom"] = [P(None, None) for _ in params_like["bottom"]]
-            if "cross" in params_like:
-                specs["cross"] = jax.tree_util.tree_map(
-                    lambda _: P(), params_like["cross"]
-                )
-            if "w1_fold" in params_like:
-                specs["w1_fold"] = P(None, None)
-            return specs
-
+        make_specs = self._make_specs
         local = self._local_forward
 
         def fwd(params, indices, dense):
@@ -317,6 +377,34 @@ class ShardedFleetRec:
             f = jax.shard_map(
                 local, mesh=mesh, in_specs=in_specs, out_specs=P("data"),
                 check_vma=False,
+            )
+            return f(params, indices, dense)
+
+        return jax.jit(fwd, static_argnames=())
+
+    @cached_property
+    def forward_pipelined(self):
+        """K-batch double-buffered serving step: [K, B, T] (+[K, B, D]) ->
+        [K, B], batch k's psum overlapped with batch k+1's local gather
+        (see _local_pipelined).  The fused sharded dispatch path
+        (ServingEngine.from_sharded(fuse=K)) uses this."""
+        mesh = self.mesh
+        make_specs = self._make_specs
+        local = self._local_pipelined
+
+        def fwd(params, indices, dense):
+            specs = make_specs(params)
+            bspec = P(None, "data", None)
+            if dense is None:
+                f = jax.shard_map(
+                    lambda p, i: local(p, i, None),
+                    mesh=mesh, in_specs=(specs, bspec),
+                    out_specs=P(None, "data"), check_vma=False,
+                )
+                return f(params, indices)
+            f = jax.shard_map(
+                local, mesh=mesh, in_specs=(specs, bspec, bspec),
+                out_specs=P(None, "data"), check_vma=False,
             )
             return f(params, indices, dense)
 

@@ -195,25 +195,16 @@ class ServingEngine:
                 out = sharded.forward(params, gi, gd)
                 return global_scores_to_host_local(out)
         elif fuse > 1:
+            # K batches per device call through the double-buffered step:
+            # batch k's psum overlaps batch k+1's gather
+            # (ShardedFleetRec._local_pipelined)
             spec3 = NamedSharding(sharded.mesh, P(None, "data", None))
-
-            @jax.jit
-            def scan_i(p, idx):
-                return jax.lax.scan(
-                    lambda c, i: (c, sharded.forward(p, i, None)), 0, idx)[1]
-
-            @jax.jit
-            def scan_id(p, idx, dense):
-                return jax.lax.scan(
-                    lambda c, x: (c, sharded.forward(p, x[0], x[1])), 0,
-                    (idx, dense))[1]
 
             def score(indices_np, dense_np):
                 i = jax.device_put(jnp.asarray(indices_np), spec3)
-                if dense_np is None:
-                    return scan_i(params, i)
-                return scan_id(params, i,
-                               jax.device_put(jnp.asarray(dense_np), spec3))
+                d = (None if dense_np is None
+                     else jax.device_put(jnp.asarray(dense_np), spec3))
+                return sharded.forward_pipelined(params, i, d)
         else:
 
             def score(indices_np, dense_np):
