@@ -101,6 +101,10 @@ class ShardedFleetRec:
         # so every shard can compute that path locally (shard 0 contributes).
         oh = [repl for _ in pt.onehot_buffers]
         leaves = oh + ([rowshard] if pt.take_buffer is not None else [])
+        if pt.onehot_scales is not None:  # int8 dequant scales: replicated
+            leaves += [repl for _ in pt.onehot_scales]
+            if pt.take_scales is not None:
+                leaves.append(repl)
         tables = jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(pt), leaves)
         mlp = [repl for _ in params["mlp"]]
         out = {"tables": tables, "mlp": mlp}

@@ -60,6 +60,7 @@ def main():
         )  # [B, n, d]
 
         results = {}
+        log(f"[{label}] n={n} R={R} d={d} — measuring take baseline...")
 
         # ---- take baseline: pack s=128//d rows per 128-lane physical row,
         # one jnp.take + mask-einsum extraction (the production large path)
@@ -83,6 +84,8 @@ def main():
 
         r = DeviceBench(take_path).measure(buf_j, idx)
         results["take"] = r["per_iter_ms"]
+        log(f"[{label}] take: {r['per_iter_ms']:.3f} ms "
+            f"(compile {r['compile_s']:.0f}s)")
         out = np.asarray(jax.jit(take_path)(buf_j, idx[0]))
         assert np.array_equal(out, golden), f"{label}: take mismatch"
 
@@ -99,6 +102,7 @@ def main():
 
         if R <= 16_384:  # compare wall makes bigger R pointless
             r = DeviceBench(onehot_path).measure(tab_j, idx)
+            log(f"[{label}] onehot: {r['per_iter_ms']:.3f} ms")
             results["onehot"] = r["per_iter_ms"]
             out = np.asarray(jax.jit(onehot_path)(tab_j, idx[0]))
             assert np.array_equal(out, golden), f"{label}: onehot mismatch"
@@ -125,6 +129,7 @@ def main():
                 return jnp.einsum("bnld,bnl->bnd", A, ohl)
 
             r = DeviceBench(factored).measure(Tr_j, idx)
+            log(f"[{label}] hilo R2={R2}: {r['per_iter_ms']:.3f} ms")
             results[f"hilo_R2={R2}"] = r["per_iter_ms"]
             out = np.asarray(jax.jit(factored)(Tr_j, idx[0]))
             assert np.array_equal(out, golden), f"{label}: hilo R2={R2} mismatch"

@@ -55,3 +55,53 @@ def test_ici_bench_runs_on_mesh():
     assert r["model_axis"] == 8
     for op in ("all_gather", "psum", "ppermute"):
         assert r[op]["GB_s"] > 0
+
+
+def test_pm1_direct_pack_matches_pack_tables():
+    """biginit.pm1_take_chunk / pack_pm1_sharded must write the SAME bytes
+    as the materializing init path (reference.init_tables + pack_tables) —
+    validated on a shrunken criteo geometry (striped, int8 and fp32) so
+    the full-cardinality dryrun's generator is trustworthy."""
+    import dataclasses
+
+    from fleetrec_tpu import config as C
+    from fleetrec_tpu import reference as ref
+    from fleetrec_tpu.models import init_model
+    from fleetrec_tpu.models.biginit import pack_pm1_sharded, pm1_take_chunk
+    from fleetrec_tpu.parallel import ShardedFleetRec, make_mesh
+
+    for dtype in ("float32", "int8"):
+        cfg = C.criteo_terabyte(batch_size=16, dtype="float32")
+        cfg = dataclasses.replace(
+            cfg,
+            table_dtype=dtype,
+            tables=tuple(dataclasses.replace(t, rows=min(t.rows, 4000))
+                         for t in cfg.tables),
+        )
+        model, params = init_model(cfg, table_scheme="pm1")
+        want_take = np.asarray(params["tables"].take_buffer)
+        layout = model.layout
+        # chunked direct generation, odd chunk size to cross boundaries
+        got = np.concatenate([
+            pm1_take_chunk(layout, cfg, lo, min(lo + 777, layout.take_phys_total),
+                           want_take.dtype)
+            for lo in range(0, layout.take_phys_total, 777)
+        ])
+        np.testing.assert_array_equal(got, want_take)
+
+        # sharded construction end-to-end: same forward scores
+        mesh = make_mesh(data=1, model=8)
+        sh = ShardedFleetRec(model, mesh)
+        packed = pack_pm1_sharded(cfg, layout, mesh)
+        for a, b in zip(packed.onehot_buffers, params["tables"].onehot_buffers):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        sp_direct = sh.shard_params({**params, "tables": packed})
+        sp_ref = sh.shard_params(params)
+        rng = np.random.default_rng(0)
+        idx = np.stack([rng.integers(0, t.rows, 16) for t in cfg.tables], 1).astype(np.int32)
+        dense = rng.choice([-1.0, 1.0], (16, cfg.dense_dim)).astype(np.float32)
+        si, sd = sh.shard_batch(jnp.asarray(idx), jnp.asarray(dense))
+        np.testing.assert_array_equal(
+            np.asarray(sh.forward(sp_direct, si, sd)),
+            np.asarray(sh.forward(sp_ref, si, sd)),
+        )
