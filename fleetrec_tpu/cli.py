@@ -138,6 +138,9 @@ def cmd_serve(args):
             scatter=scatter,
         )
         eng.close()
+        # per-sender rx counters (the hardware packet-counter analog,
+        # network_stack.sv:1049-1100) — spot the slow/flapping sender
+        summary["per_sender"] = ing.sender_stats()
         if scatter is not None:
             summary["scatter"] = scatter.stats()
             scatter.close()
@@ -465,10 +468,42 @@ def cmd_gatherbench(args):
 def cmd_plan(args):
     """Placement plan: per-chip byte accounting + shard load balance for a
     config on an n_model-way mesh (the analog of the reference's
-    config_sp_*.txt bank-pinning files, computed instead of hand-written)."""
+    config_sp_*.txt bank-pinning files, computed instead of hand-written).
+
+    --recommend N: pick the (data, model) split of an N-chip slice —
+    model axis = smallest that fits the HBM budget (the model axis divides
+    table BYTES; issued gather indices divide along the DATA axis, so
+    per-query lookup cost is topology-independent — docs/DESIGN.md
+    "v5e-16 projection"), data axis = N / model."""
     from .parallel import plan
 
     cfg = _make_cfg(args)
+    if args.recommend:
+        N = args.recommend
+        budget = args.hbm_gb << 30
+        chosen = None
+        for m in [d for d in range(1, N + 1) if N % d == 0]:
+            p = plan(cfg, n_model=m, hbm_budget_bytes=budget,
+                     batch_size=args.batch)
+            if p.fits:
+                chosen = (m, p)
+                break
+        if chosen is None:
+            print(json.dumps({"recommend": None,
+                              "reason": f"does not fit {N} chips at "
+                              f"{args.hbm_gb} GiB; min_model_shards="
+                              f"{p.min_model_shards}"}))
+            return
+        m, p = chosen
+        print(json.dumps({
+            "chips": N, "data_axis": N // m, "model_axis": m,
+            "per_chip_bytes": p.per_chip_bytes,
+            "hbm_budget_bytes": p.hbm_budget_bytes,
+            "note": "model axis = min that fits (divides table bytes); "
+                    "data axis divides issued gather indices; per-query "
+                    "lookup cost is topology-independent",
+        }, indent=2))
+        return
     p = plan(cfg, n_model=args.model_axis,
              hbm_budget_bytes=args.hbm_gb << 30, batch_size=args.batch)
     out = p.to_json()
@@ -634,6 +669,9 @@ def main(argv=None):
                    help="per-chip HBM budget in GiB (v5e: 16)")
     s.add_argument("--shards", action="store_true",
                    help="include the per-shard row-range table")
+    s.add_argument("--recommend", type=int, default=0,
+                   help="recommend the (data, model) split for an N-chip "
+                   "slice (0 = off)")
     s.set_defaults(fn=cmd_plan)
 
     s = sub.add_parser("icibench", parents=[common],

@@ -35,6 +35,14 @@ def test_cli_plan(capsys):
     assert r["take_bytes_per_chip"] * 8 == r["take_bytes_total"]
 
 
+def test_cli_plan_recommend(capsys):
+    r = run_cli(capsys, "plan", "--config", "criteo_terabyte", "--platform",
+                "cpu", "--recommend", "16", "--dtype", "bfloat16", "--batch", "64")
+    assert r["chips"] == 16
+    assert r["data_axis"] * r["model_axis"] == 16
+    assert r["per_chip_bytes"] <= r["hbm_budget_bytes"]
+
+
 def test_cli_export_and_ckpt_roundtrip(tmp_path, capsys):
     path = os.path.join(tmp_path, "m.npz")
     r = run_cli(capsys, "export", *COMMON, "--out", path)
