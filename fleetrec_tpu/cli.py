@@ -34,6 +34,10 @@ def _make_cfg(args, reduce_rows=None):
         cfg = dataclasses.replace(cfg, take_lanes=args.take_lanes)
     if getattr(args, "onehot_max", None) is not None:
         cfg = dataclasses.replace(cfg, onehot_max=args.onehot_max)
+    if getattr(args, "onehot_factor_max", None) is not None:
+        cfg = dataclasses.replace(cfg, onehot_factor_max=args.onehot_factor_max)
+    if getattr(args, "onehot_r2", None) is not None:
+        cfg = dataclasses.replace(cfg, onehot_r2=args.onehot_r2)
     if getattr(args, "take_stripes", 0):
         cfg = dataclasses.replace(cfg, take_stripes=args.take_stripes)
     if args.dtype:
@@ -546,6 +550,13 @@ def main(argv=None):
     common.add_argument("--mlp-scheme", default="ones")
     common.add_argument("--onehot-max", type=int, default=None,
                         help="one-hot/take crossover row threshold")
+    common.add_argument("--onehot-factor-max", type=int, default=None,
+                        help="factored hi/lo one-hot tier: tables with "
+                        "onehot_max < rows <= this select via a hi-one-hot "
+                        "MXU matmul + exact lo mask-einsum (0 = off)")
+    common.add_argument("--onehot-r2", type=int, default=None,
+                        help="lo-level width of the factored tier "
+                        "(rounded so r2*dim is a lane multiple)")
     common.add_argument("--take-stripes", type=int, default=0,
                         help="striped take layout (balanced row-sharding); "
                         "0 = config default")

@@ -110,6 +110,17 @@ class ModelConfig:
     # of the row gather (crossover measured ~1.5-2K rows on v5e for model1;
     # `cli autotune` sweeps this per config on the attached chip).
     onehot_max: int = 2048
+    # Factored (two-level hi/lo) one-hot: tables with onehot_max < rows <=
+    # onehot_factor_max select via a [B,n,R1] hi-one-hot MXU matmul against
+    # the buffer reshaped [n, R1, R2*d] followed by an exact lo mask-einsum
+    # — compare cost drops from R to R/R2 + R2 per index and the buffer
+    # loses the 128/dim lane bloat (minor dim R2*d >= 128).  The MXU term
+    # 2*R*d FLOPs/index bounds the win to mid-size tables (R*d <~ 1-2M).
+    # 0 = disabled (plain two-path split).  Exact: both contractions have
+    # one nonzero per reduction row.
+    onehot_factor_max: int = 0
+    # lo-level width R2 (rounded up per dim class so R2*dim % 128 == 0).
+    onehot_r2: int = 64
     # Striped take layout: the packed buffer becomes take_stripes stripes
     # and each table's physical rows round-robin over them, so every
     # row-shard of a mesh whose "model" axis divides take_stripes owns

@@ -109,6 +109,8 @@ def pack_pm1_sharded(
             buf[j, : sp.rows] = np.repeat(v[:, None], sp.dim, axis=1)
             if quant:
                 buf[j, : sp.rows] *= _PM1_INT8_Q
+        if c.r2:
+            buf = buf.reshape(c.num_tables, c.r1, c.r2 * c.dim)
         onehot_buffers.append(jnp.asarray(buf, dtype=table_dtype))
         if quant:
             sc = np.full((c.num_tables, 1, 1), _PM1_INT8_SCALE, np.float32)

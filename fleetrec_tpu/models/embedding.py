@@ -80,15 +80,31 @@ def _partition_rows(rows_sorted: List[int], fixed: int = _BUCKET_FIXED_ROWS) -> 
 
 @dataclasses.dataclass(frozen=True)
 class OneHotClass:
-    """Tables of one (rows_pad, dim) class, stacked: buffer [n, rows_pad, dim]."""
+    """Tables of one (rows_pad, dim) class, stacked.
+
+    r2 == 0 (plain): buffer [n, rows_pad, dim]; selection is one one-hot
+    MXU matmul (B*n*rows_pad compares for the mask).
+
+    r2 > 0 (factored hi/lo): rows_pad = R1 * r2 and the buffer is stored
+    [n, R1, r2*dim]; row id splits into hi = id // r2 (one-hot MXU matmul
+    over R1) and lo = id % r2 (exact mask-einsum over r2) — compare cost
+    drops from rows_pad to R1 + r2 per index, and the minor dim r2*dim is
+    kept a multiple of 128 so the buffer has no lane bloat.  Both
+    contractions have exactly one nonzero per reduction row: exact."""
 
     dim: int
     rows_pad: int
     table_ids: Tuple[int, ...]
+    r2: int = 0
 
     @property
     def num_tables(self) -> int:
         return len(self.table_ids)
+
+    @property
+    def r1(self) -> int:
+        assert self.r2 > 0
+        return self.rows_pad // self.r2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -157,15 +173,23 @@ def build_layout(
     onehot_max: int = DEFAULT_ONEHOT_MAX,
     take_lanes: int = LANES,
     take_stripes: int = 1,
+    onehot_factor_max: int = 0,
+    onehot_r2: int = 64,
 ) -> PackedLayout:
-    """Plan the two-path packing + the static output-layout permutation.
+    """Plan the two-path (or three-path) packing + the static output-layout
+    permutation.
 
     ``feature_dim`` is the width of the produced feature vector; positions
     not covered by a table or the dense tail are zero-filled (model2 pads
     876 -> 880, embedding_98_krnl constants.hpp:13).
+
+    onehot_factor_max > 0 adds the factored hi/lo one-hot tier for tables
+    with onehot_max < rows <= onehot_factor_max (see OneHotClass).
     """
     small = [t for t in tables if t.rows <= onehot_max]
-    large = [t for t in tables if t.rows > onehot_max]
+    mid = [t for t in tables
+           if onehot_max < t.rows <= onehot_factor_max]
+    large = [t for t in tables if t.rows > max(onehot_max, onehot_factor_max)]
 
     # One-hot classes: per dim, tables partition into row-size buckets by a
     # DP balancing per-op fixed overhead against padded mask volume (the
@@ -186,6 +210,28 @@ def build_layout(
                     dim=d,
                     rows_pad=_round_up(max(max(t.rows for t in bucket), 8), 8),
                     table_ids=tuple(t.table_id for t in bucket),
+                )
+            )
+            start = end
+    # Factored hi/lo classes for the mid tier: same per-dim DP bucketing;
+    # R2 rounds up so the stored minor dim R2*d is a lane multiple (no
+    # bloat), rows pad to a multiple of R2.
+    by_mid: Dict[int, List[TableSpec]] = {}
+    for t in mid:
+        by_mid.setdefault(t.dim, []).append(t)
+    for d, ts in sorted(by_mid.items()):
+        r2 = _round_up(max(onehot_r2, 1), max(LANES // d, 1))
+        ts = sorted(ts, key=lambda t: t.rows)
+        ends = _partition_rows([t.rows for t in ts])
+        start = 0
+        for end in ends:
+            bucket = ts[start:end]
+            classes_list.append(
+                OneHotClass(
+                    dim=d,
+                    rows_pad=_round_up(max(t.rows for t in bucket), r2),
+                    table_ids=tuple(t.table_id for t in bucket),
+                    r2=r2,
                 )
             )
             start = end
@@ -336,6 +382,9 @@ def pack_tables(
             spec, arr = by_id[tid]
             assert arr.shape == (spec.rows, spec.dim), (tid, arr.shape)
             buf[j, : spec.rows] = arr
+        if c.r2:
+            # factored storage: row id r lives at [r // r2, (r % r2)*d : +d]
+            buf = buf.reshape(c.num_tables, c.r1, c.r2 * c.dim)
         onehot_buffers.append(jnp.asarray(buf, dtype=dtype))
         if quant:
             sc = np.asarray([scales[tid] for tid in c.table_ids], np.float32)
@@ -403,6 +452,28 @@ def _onehot_lookup(
     power-of-two scale."""
     B, n = idx.shape
     quant = buf.dtype == jnp.int8
+    if c.r2:
+        # factored hi/lo: hi-one-hot MXU matmul over R1, then exact lo
+        # mask-einsum over r2 (compare cost R1 + r2 instead of rows_pad)
+        hi = (idx // c.r2).astype(jnp.int32)
+        lo = (idx % c.r2).astype(jnp.int32)
+        i1 = jax.lax.broadcasted_iota(jnp.int32, (c.r1,), 0)
+        ohh = (hi[..., None] == i1).astype(buf.dtype)  # [B, n, R1]
+        A = jax.lax.dot_general(
+            ohh, buf,
+            dimension_numbers=(((2,), (1,)), ((1,), (0,))),
+            preferred_element_type=jnp.int32 if quant else jnp.float32,
+        )  # [n, B, r2*d]
+        A = A.transpose(1, 0, 2).reshape(B, n, c.r2, c.dim)
+        i2 = jax.lax.broadcasted_iota(jnp.int32, (c.r2,), 0)
+        if quant:
+            m = (lo[..., None] == i2).astype(jnp.int32)
+            e = jnp.einsum("bnld,bnl->bnd", A, m)
+            e = e.astype(jnp.float32) * scale.reshape(1, n, 1)
+            return e.reshape(B, n * c.dim)
+        m = (lo[..., None] == i2).astype(A.dtype)
+        e = jnp.einsum("bnld,bnl->bnd", A, m)
+        return e.reshape(B, n * c.dim).astype(buf.dtype)
     iota = jax.lax.broadcasted_iota(jnp.int32, (c.rows_pad,), 0)
     oh = (idx[..., None] == iota).astype(buf.dtype)  # [B, n, R]
     out = jax.lax.dot_general(

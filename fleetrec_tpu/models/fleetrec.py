@@ -56,12 +56,16 @@ class FleetRecModel:
                 cfg.tables, emb_dim, 0,
                 onehot_max=cfg.onehot_max, take_lanes=cfg.take_lanes,
                 take_stripes=cfg.take_stripes,
+                onehot_factor_max=cfg.onehot_factor_max,
+                onehot_r2=cfg.onehot_r2,
             )
         else:
             layout = build_layout(
                 cfg.tables, cfg.feature_dim, cfg.dense_dim,
                 onehot_max=cfg.onehot_max, take_lanes=cfg.take_lanes,
                 take_stripes=cfg.take_stripes,
+                onehot_factor_max=cfg.onehot_factor_max,
+                onehot_r2=cfg.onehot_r2,
             )
         perm = tuple(int(p) for p in index_columns(layout, [t.table_id for t in cfg.tables]))
         return cls(cfg=cfg, layout=layout, index_perm=perm)

@@ -102,19 +102,26 @@ def plan(
     B = batch_size or cfg.batch_size
     layout = build_layout(cfg.tables, cfg.feature_dim, cfg.dense_dim,
                           onehot_max=cfg.onehot_max, take_lanes=cfg.take_lanes,
-                          take_stripes=cfg.take_stripes)
+                          take_stripes=cfg.take_stripes,
+                          onehot_factor_max=cfg.onehot_factor_max,
+                          onehot_r2=cfg.onehot_r2)
     isz = _ITEMSIZE[cfg.table_dtype]
 
-    # one-hot class buffers are [n, rows_pad, dim]; on TPU the minor dim
-    # physically pads to 128 lanes and the second-minor to the dtype's
+    # plain one-hot class buffers are [n, rows_pad, dim]; on TPU the minor
+    # dim physically pads to 128 lanes and the second-minor to the dtype's
     # sublane tile (8 rows f32, 16 bf16, 32 int8), so HBM cost is 128/dim x
     # the logical bytes — THE tradeoff autotuning the one-hot threshold
-    # buys speed with
+    # buys speed with.  Factored classes store [n, R1, r2*dim] whose minor
+    # dim is already a lane multiple: no bloat, only sublane padding on R1.
     sublane = {4: 8, 2: 16, 1: 32}[isz]
-    onehot_bytes = sum(
-        c.num_tables * _round_up(c.rows_pad, sublane) * LANES * isz
-        for c in layout.onehot_classes
-    )
+    onehot_bytes = 0
+    for c in layout.onehot_classes:
+        if c.r2:
+            onehot_bytes += (c.num_tables * _round_up(c.r1, sublane)
+                             * c.r2 * c.dim * isz)
+        else:
+            onehot_bytes += (c.num_tables * _round_up(c.rows_pad, sublane)
+                             * LANES * isz)
     mlp_isz = _ITEMSIZE[cfg.dtype]
     w = cfg.mlp.widths
     mlp_bytes = sum(a * b for a, b in zip(w[:-1], w[1:])) * mlp_isz

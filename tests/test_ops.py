@@ -105,3 +105,112 @@ def test_pm1_direct_pack_matches_pack_tables():
             np.asarray(sh.forward(sp_direct, si, sd)),
             np.asarray(sh.forward(sp_ref, si, sd)),
         )
+
+
+def test_factored_onehot_bitexact_all_paths():
+    """Three-tier split (plain one-hot / factored hi-lo / take) must be
+    bit-exact vs the float64 oracle in fp32, bf16-storage, and int8 modes,
+    and equal to the two-tier (factored disabled) forward."""
+    import dataclasses
+
+    from fleetrec_tpu import config as C
+    from fleetrec_tpu import reference as ref
+    from fleetrec_tpu.models import init_model
+
+    B = 32
+    base = C.micro_test(batch_size=B)
+    # spread rows so all three tiers engage: micro_test tables get row
+    # counts straddling onehot_max=64 and factor_max=1500
+    rows = [40, 50, 300, 700, 900, 1400, 3000, 5000]
+    tables = tuple(
+        dataclasses.replace(t, rows=rows[i % len(rows)])
+        for i, t in enumerate(base.tables)
+    )
+    # (bf16 storage exercises the same program but the CPU backend lacks
+    # BF16xBF16=F32 dot thunks — bf16 parity is a chip-side check)
+    for dtype, table_dtype in [("float32", "float32"),
+                               ("float32", "int8")]:
+        cfg = dataclasses.replace(
+            base, tables=tables, dtype=dtype, table_dtype=table_dtype,
+            onehot_max=64, onehot_factor_max=1500, onehot_r2=32)
+        cfg.validate()
+        data = ref.init_tables(cfg, scheme="pm1")
+        ws = ref.init_mlp_weights(cfg, scheme="ones")
+        model, params = init_model(cfg, tables_np=data, mlp_np=ws)
+        lay = model.layout
+        assert any(c.r2 for c in lay.onehot_classes), "factored tier unused"
+        assert any(not c.r2 for c in lay.onehot_classes)
+        assert lay.n_take > 0
+        # r2 rounded so r2*dim is a lane multiple
+        for c in lay.onehot_classes:
+            if c.r2:
+                assert (c.r2 * c.dim) % 128 == 0
+                assert c.rows_pad % c.r2 == 0
+
+        rng = np.random.default_rng(3)
+        idx = np.stack([rng.integers(0, t.rows, B) for t in cfg.tables], 1).astype(np.int32)
+        dense = rng.choice([-1.0, 1.0], (B, cfg.dense_dim)).astype(np.float32)
+        out = np.asarray(jax.jit(model.forward)(
+            params, jnp.asarray(idx), jnp.asarray(dense)), dtype=np.float64)
+        golden = ref.forward(cfg, data, ws, idx, dense)
+        assert np.array_equal(out.astype(np.float32),
+                              golden.astype(np.float32)), (dtype, table_dtype)
+
+        # two-tier (factored off) must agree bit-for-bit
+        cfg2 = dataclasses.replace(cfg, onehot_factor_max=0)
+        model2, params2 = init_model(cfg2, tables_np=data, mlp_np=ws)
+        out2 = np.asarray(jax.jit(model2.forward)(
+            params2, jnp.asarray(idx), jnp.asarray(dense)), dtype=np.float64)
+        assert np.array_equal(out, out2), (dtype, table_dtype)
+
+
+def test_factored_onehot_sharded_forward():
+    """Factored classes replicate like plain one-hot classes; the sharded
+    forward stays bit-identical to the single-device one on parity data."""
+    import dataclasses
+
+    from fleetrec_tpu import config as C
+    from fleetrec_tpu.models import init_model
+    from fleetrec_tpu.parallel import ShardedFleetRec, make_mesh
+
+    B = 32
+    base = C.micro_test(batch_size=B)
+    cfg = dataclasses.replace(
+        base,
+        tables=tuple(dataclasses.replace(t, rows=200 + 150 * i)
+                     for i, t in enumerate(base.tables)),
+        onehot_max=64, onehot_factor_max=600, onehot_r2=32)
+    cfg.validate()
+    model, params = init_model(cfg)  # pm1 / ones
+    rng = np.random.default_rng(5)
+    idx = np.stack([rng.integers(0, t.rows, B) for t in cfg.tables], 1).astype(np.int32)
+    dense = rng.integers(0, 3, (B, cfg.dense_dim)).astype(np.float32)
+    single = np.asarray(jax.jit(model.forward)(
+        params, jnp.asarray(idx), jnp.asarray(dense)))
+    mesh = make_mesh(data=2, model=4)
+    sh = ShardedFleetRec(model, mesh)
+    sp = sh.shard_params(params)
+    si, sd = sh.shard_batch(jnp.asarray(idx), jnp.asarray(dense))
+    got = np.asarray(sh.forward(sp, si, sd))
+    assert np.array_equal(got, single)
+
+
+def test_factored_onehot_planner_no_lane_bloat():
+    """Planner: factored class bytes have no 128/dim lane bloat."""
+    import dataclasses
+
+    from fleetrec_tpu import config as C
+    from fleetrec_tpu.parallel import plan
+
+    base = C.micro_test(batch_size=8)
+    cfg = dataclasses.replace(
+        base,
+        tables=tuple(dataclasses.replace(t, rows=1000) for t in base.tables),
+        onehot_max=64, onehot_factor_max=2000, onehot_r2=32)
+    p_fact = plan(cfg, n_model=1)
+    p_take = plan(dataclasses.replace(cfg, onehot_factor_max=0), n_model=1)
+    # factored storage ~= logical bytes (r2*d minor dim); plain one-hot on
+    # the same tables would pay 128/d; the take path pays none either — so
+    # factored one-hot bytes should be within ~2x of take bytes for the
+    # same tables, far below the 128/d-bloated plain class
+    assert p_fact.onehot_bytes < 4 * p_take.take_bytes_total
