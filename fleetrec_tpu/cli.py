@@ -450,7 +450,7 @@ def cmd_gatherbench(args):
     design decision (docs/DESIGN.md), ns/row apiece."""
     import jax.numpy as jnp
 
-    from .ops.gather_pallas import gather_rows
+    from .ops.gather_pallas import gather_rows, gather_rows_grouped
     from .utils.timing import DeviceBench
 
     rng = np.random.default_rng(0)
@@ -464,7 +464,12 @@ def cmd_gatherbench(args):
     b = DeviceBench(lambda t, i: gather_rows(t, i, chunk=args.chunk,
                                              window=args.window))
     res["pallas_dma_ns_per_row"] = b.measure(table, idx)["per_iter_ms"] * 1e6 / N
-    res.update(rows=R, gathered_rows=N, chunk=args.chunk, window=args.window)
+    b = DeviceBench(lambda t, i: gather_rows_grouped(
+        t, i, chunk=args.chunk, group=args.group, window=args.window))
+    res["pallas_grouped_ns_per_row"] = (
+        b.measure(table, idx)["per_iter_ms"] * 1e6 / N)
+    res.update(rows=R, gathered_rows=N, chunk=args.chunk, window=args.window,
+               group=args.group)
     print(json.dumps({k: round(v, 2) if isinstance(v, float) else v
                       for k, v in res.items()}))
 
@@ -670,6 +675,8 @@ def main(argv=None):
     s.add_argument("--iters", type=int, default=16)
     s.add_argument("--chunk", type=int, default=512)
     s.add_argument("--window", type=int, default=8)
+    s.add_argument("--group", type=int, default=8,
+                   help="rows per semaphore group in the grouped-DMA kernel")
     s.add_argument("--platform", default="")
     s.set_defaults(fn=cmd_gatherbench)
 

@@ -62,6 +62,89 @@ def _gather_kernel(chunk: int, window: int, idx_ref, table_ref, out_ref,
     jax.lax.fori_loop(0, chunk, body, 0)
 
 
+def _gather_grouped_kernel(chunk: int, group: int, window: int, idx_ref,
+                           table_ref, out_ref, sems):
+    """Grouped-DMA variant (VERDICT r2 next-1 "amortized descriptor" angle):
+    every row's DMA lands DIRECTLY in the output block (no VMEM scratch, no
+    per-row copy-out), rows are issued in unrolled groups of ``group`` that
+    share one semaphore, and ``window`` groups stay in flight.  The per-row
+    work in the scalar core is ONE dma.start() — the hypothesis under test
+    is that the per-row kernel's 47 ns/row was scalar-loop + scratch-copy
+    overhead, not DMA-engine throughput."""
+    base = pl.program_id(0) * chunk
+    n_groups = chunk // group
+
+    def row_dma(g, k):
+        j = g * group + k
+        return pltpu.make_async_copy(
+            table_ref.at[idx_ref[base + j]],
+            out_ref.at[j],
+            sems.at[jax.lax.rem(g, window)],
+        )
+
+    def start_group(g):
+        for k in range(group):  # unrolled: group is static
+            row_dma(g, k).start()
+
+    def wait_group(g):
+        for k in range(group):  # each wait retires one row's bytes
+            row_dma(g, k).wait()
+
+    for w in range(window):  # warm-up: fill the window (static count)
+        start_group(w)
+
+    def body(g, _):
+        wait_group(g)
+
+        @pl.when(g + window < n_groups)
+        def _():
+            start_group(g + window)
+
+        return 0
+
+    jax.lax.fori_loop(0, n_groups, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "group", "window", "interpret"))
+def gather_rows_grouped(
+    table: jax.Array,
+    phys_idx: jax.Array,
+    chunk: int = 1024,
+    group: int = 8,
+    window: int = 4,
+    interpret: bool = False,
+) -> jax.Array:
+    """Grouped-DMA gather: rows of ``table`` [R, L] at ``phys_idx`` [N] ->
+    [N, L].  See _gather_grouped_kernel; measured by ``cli gatherbench
+    --mode grouped``."""
+    N = phys_idx.shape[0]
+    L = table.shape[1]
+    group = max(1, min(group, chunk))
+    chunk = (chunk // group) * group
+    window = max(1, min(window, chunk // group))
+    n_pad = -N % chunk
+    idx = jnp.pad(phys_idx.astype(jnp.int32), (0, n_pad))
+    total = N + n_pad
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(total // chunk,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((chunk, L), lambda i, _idx: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA((window,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_gather_grouped_kernel, chunk, group, window),
+        out_shape=jax.ShapeDtypeStruct((total, L), table.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(idx, table)
+    return out[:N]
+
+
 @functools.partial(jax.jit, static_argnames=("chunk", "window", "interpret"))
 def gather_rows(
     table: jax.Array,

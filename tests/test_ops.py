@@ -47,6 +47,25 @@ def test_pallas_gather_rows_matches_take():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_pallas_gather_rows_grouped_matches_take():
+    """Interpret-mode check of the grouped-DMA gather (DMAs land directly
+    in the output block, one semaphore per group) vs jnp.take, including
+    ragged tail and group/window clamping."""
+    import jax.numpy as jnp
+
+    from fleetrec_tpu.ops.gather_pallas import gather_rows_grouped
+
+    rng = np.random.default_rng(1)
+    table = jnp.asarray(rng.standard_normal((4096, 128)).astype(np.float32))
+    for n, chunk, group, window in ((512, 256, 8, 4), (700, 256, 8, 4),
+                                    (256, 256, 16, 64), (96, 64, 5, 2)):
+        idx = jnp.asarray(rng.integers(0, 4096, n).astype(np.int32))
+        got = gather_rows_grouped(table, idx, chunk=chunk, group=group,
+                                  window=window, interpret=True)
+        want = jnp.take(table, idx, axis=0)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_ici_bench_runs_on_mesh():
     from fleetrec_tpu.benchmarks import ici_bench
     from fleetrec_tpu.parallel import make_mesh
