@@ -240,14 +240,19 @@ def _load_json(name: str) -> dict:
 
 
 def fleetrec_model1(batch_size: int = 1024, dtype: str = "float32",
-                    onehot_max: int = 16384) -> ModelConfig:
+                    onehot_max: int = 4096, onehot_factor_max: int = 131072,
+                    onehot_r2: int = 16) -> ModelConfig:
     """Paper model 1: 47 tables, 352-float feature, MLP 352-1024-512-256-1.
 
     Geometry extracted from
     FPGA/kernel/user_krnl/embedding_krnl/src/hls/constants.hpp (TABLE_NUM=47,
     INPUT_SIZE=352) and validated against its VECTOR_START_IDX_* constants.
-    onehot_max=16384 measured best on v5e (`cli autotune`: 2.10 vs 2.42
-    ms/4096-batch at the generic 2048 default).
+    Lookup tiers measured on v5e (r3 sweep, same-window K=8 comparisons):
+    factored hi/lo tier over 4096 < rows <= 131072 with r2=16 beats both
+    the old onehot_max=16384 plain split (-11% e2e) and factoring only
+    rows > 16384 (which measured WORSE than base: plain one-hot masks for
+    the 15 16K-row tables cost more than hi/lo MXU selection, so the
+    crossover moves down to 4096 when the factored tier exists).
     """
     raw = _load_json("fleetrec_model1")
     cfg = ModelConfig(
@@ -258,18 +263,24 @@ def fleetrec_model1(batch_size: int = 1024, dtype: str = "float32",
         dtype=dtype,
         table_dtype=dtype,
         onehot_max=onehot_max,
+        onehot_factor_max=onehot_factor_max,
+        onehot_r2=onehot_r2,
     )
     cfg.validate()
     return cfg
 
 
 def fleetrec_model2(batch_size: int = 1024, dtype: str = "float32",
-                    onehot_max: int = 32768) -> ModelConfig:
+                    onehot_max: int = 4096, onehot_factor_max: int = 262144,
+                    onehot_r2: int = 16) -> ModelConfig:
     """Paper model 2: 98 tables, 880-float feature (876 padded to 880),
     MLP 880-1024-512-256-1 (embedding_98_krnl constants.hpp; 1-node GPU
-    server constant.h:21-27).  onehot_max=32768 measured best on v5e
-    (4.53 vs 5.63 ms/4096-batch at 2048; 65536 collapses to 9.5 — the
-    one-hot mask cost is B*n*rows_pad VPU compares, docs/DESIGN.md)."""
+    server constant.h:21-27).  Pre-factored tuning had onehot_max=32768
+    (4.53 vs 5.63 ms/4096 at 2048; 65536 collapsed to 9.5 — the plain
+    one-hot mask cost is B*n*rows_pad VPU compares, docs/DESIGN.md); the
+    r3 factored hi/lo tier (4096 < rows <= 262144, r2=16) moves the 30-odd
+    65K-row d8 tables onto MXU selection, -19% e2e in the same-window
+    sweep."""
     raw = _load_json("fleetrec_model2")
     cfg = ModelConfig(
         name="fleetrec_model2",
@@ -279,18 +290,27 @@ def fleetrec_model2(batch_size: int = 1024, dtype: str = "float32",
         dtype=dtype,
         table_dtype=dtype,
         onehot_max=onehot_max,
+        onehot_factor_max=onehot_factor_max,
+        onehot_r2=onehot_r2,
     )
     cfg.validate()
     return cfg
 
 
 def fleetrec_model3(batch_size: int = 1024, dtype: str = "float32",
-                    onehot_max: int = 16384) -> ModelConfig:
+                    onehot_max: int = 4096, onehot_factor_max: int = 131072,
+                    onehot_r2: int = 16) -> ModelConfig:
     """Paper model 3: 377 tables = 2 x 188 (the two-FPGA shards of
     embedding_377_krnl) + a 64-float dense CPU slice; feature 3968 =
     1952 + 1952 + 64 (constant.h:25-27); MLP 3968-2048-512-256-1
-    (constant.h:30-33).  onehot_max=16384 measured best on v5e (22.1 vs
-    27.3 ms/4096-batch at 2048, rows capped 1M)."""
+    (constant.h:30-33).  Pre-factored tuning: onehot_max=16384 (22.1 vs
+    27.3 ms/4096 at 2048, rows capped 1M).  r3 factored hi/lo tier
+    (4096 < rows <= 131072, r2=16): the 160 ~100K-row d8 tables + 80
+    10K-row tables move to MXU selection, 17.4 vs 21.9 ms in the sweep
+    (and the degraded-window bias means the true win is larger; int8
+    tables give a further -10%, docs/DESIGN.md).  The 104 remaining take
+    tables are d16/d32 with R*d >= 4M where the MXU selection term
+    2*R*d/peak exceeds take's ~13.5 ns/index floor."""
     raw = _load_json("fleetrec_model3_fpga")
     shard0 = _tables_from_json(raw["tables"])
     shard1 = _tables_from_json(raw["tables"], offset_shift=raw["feature_dim"], id_shift=len(shard0))
@@ -304,6 +324,8 @@ def fleetrec_model3(batch_size: int = 1024, dtype: str = "float32",
         dtype=dtype,
         table_dtype=dtype,
         onehot_max=onehot_max,
+        onehot_factor_max=onehot_factor_max,
+        onehot_r2=onehot_r2,
     )
     cfg.validate()
     return cfg

@@ -39,8 +39,10 @@ def test_plan_model1_single_chip():
     p = plan(cfg, n_model=1)
     assert p.fits and p.min_model_shards == 1
     # replicated small tables + row-sharded take buffer account for all
-    # table bytes (take side is phys-padded so >= the raw large-table bytes)
-    large = sum(t.nbytes for t in cfg.tables if t.rows > cfg.onehot_max)
+    # table bytes (take side is phys-padded so >= the raw large-table
+    # bytes; the factored tier's tables live in class buffers, not take)
+    large = sum(t.nbytes for t in cfg.tables
+                if t.rows > max(cfg.onehot_max, cfg.onehot_factor_max))
     assert p.take_bytes_total >= large
     assert len(p.shards) == 1 and p.shards[0].uniform_load_frac == pytest.approx(1.0)
 
