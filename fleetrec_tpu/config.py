@@ -271,16 +271,17 @@ def fleetrec_model1(batch_size: int = 1024, dtype: str = "float32",
 
 
 def fleetrec_model2(batch_size: int = 1024, dtype: str = "float32",
-                    onehot_max: int = 4096, onehot_factor_max: int = 262144,
+                    onehot_max: int = 4096, onehot_factor_max: int = 131072,
                     onehot_r2: int = 16) -> ModelConfig:
     """Paper model 2: 98 tables, 880-float feature (876 padded to 880),
     MLP 880-1024-512-256-1 (embedding_98_krnl constants.hpp; 1-node GPU
     server constant.h:21-27).  Pre-factored tuning had onehot_max=32768
     (4.53 vs 5.63 ms/4096 at 2048; 65536 collapsed to 9.5 — the plain
     one-hot mask cost is B*n*rows_pad VPU compares, docs/DESIGN.md); the
-    r3 factored hi/lo tier (4096 < rows <= 262144, r2=16) moves the 30-odd
-    65K-row d8 tables onto MXU selection, -19% e2e in the same-window
-    sweep."""
+    r3 factored hi/lo tier (4096 < rows <= 131072, r2=16) moves the 30-odd
+    65K-row d8 tables onto MXU selection: 3.52 vs 4.11 ms/4096 healthy-
+    window (262144 — which would also factor the 2 256K-row tables,
+    R*d=2M — measured 3.73 there: past the MXU-term crossover)."""
     raw = _load_json("fleetrec_model2")
     cfg = ModelConfig(
         name="fleetrec_model2",
@@ -386,12 +387,15 @@ def parity_synthetic(input_width: int = 512, batch_size: int = 32) -> ModelConfi
 
 
 def criteo_terabyte(batch_size: int = 1024, dtype: str = "bfloat16",
-                    take_stripes: int = 16) -> ModelConfig:
+                    take_stripes: int = 16, onehot_factor_max: int = 24576,
+                    onehot_r2: int = 4) -> ModelConfig:
     """Terabyte-Criteo-scale config (BASELINE.json config 5): 26 categorical
     tables with the classic Criteo-1TB cardinalities (largest ~192M rows;
     here one table is held at 1B rows to force row+column sharding), dim 32,
     13 dense features, DLRM-ish 3968-wide bottom concat is replaced by the
-    standard concat of 26*32 + 13 -> MLP."""
+    standard concat of 26*32 + 13 -> MLP.  The 7 mid tables (2209..20265
+    rows, d32) run the factored hi/lo tier (r2=4 -> 128-lane minor):
+    2.54 vs 2.78 ms/4096 healthy-window (r3 confirm, rows capped 4M)."""
     cardinalities = [
         1_000_000_000, 39_060, 17_295, 7_424, 20_265, 3, 7_122, 1_543, 63,
         130_229_467, 3_067_956, 405_282, 10, 2_209, 11_938, 155, 4, 976,
@@ -411,6 +415,8 @@ def criteo_terabyte(batch_size: int = 1024, dtype: str = "bfloat16",
         dtype=dtype,
         table_dtype=dtype,
         take_stripes=take_stripes,
+        onehot_factor_max=onehot_factor_max,
+        onehot_r2=onehot_r2,
     )
     cfg.validate()
     return cfg

@@ -137,8 +137,10 @@ def test_striped_criteo_balances_plan():
     p = plan(cfg, n_model=16)
     loads = [s.uniform_load_frac for s in p.shards]
     assert max(loads) / (sum(loads) / len(loads)) < 1.05
-    # every shard touches every take table
-    n_take_tables = sum(1 for t in cfg.tables if t.rows > cfg.onehot_max)
+    # every shard touches every take table (factored-tier tables live in
+    # class buffers, not the take buffer)
+    n_take_tables = sum(1 for t in cfg.tables
+                        if t.rows > max(cfg.onehot_max, cfg.onehot_factor_max))
     assert all(len(s.tables_touched) == n_take_tables for s in p.shards)
     # contiguous layout for comparison: imbalanced
     p0 = plan(dataclasses.replace(cfg, take_stripes=1), n_model=16)
