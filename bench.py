@@ -78,11 +78,16 @@ def bench_one(cfg, K):
     Parity (two checks, both against the float64 oracle on pm1 tables +
     ones weights — the reference's closed-form convention,
     cuda_server.c:154-161):
-      1. HARD GATE: the forward at matmul_precision="highest" (exact fp32
-         MXU passes) must be BIT-EXACT for EVERY config — pm1 data is
-         exact in fp32/bf16/int8 storage and the whole chain is integer
-         arithmetic, so any deviation is a real wrong-row/extraction bug,
-         never rounding.  This is what catches a wrong gather.
+      1. HARD GATE: the forward at matmul_precision="highest" AND
+         dtype="float32" (fp32 activations + fp32-cast MLP weights; the
+         config's table_dtype KEPT) must be BIT-EXACT for EVERY config —
+         pm1 data is exact in fp32/bf16/int8 storage, ones weights are
+         exact in any dtype, and with fp32 activations the whole chain is
+         exact integer arithmetic, so any deviation is a real wrong-row/
+         extraction bug.  This is what catches a wrong gather.  (The r3
+         gate flipped only matmul_precision and left bf16 activations in
+         place — a false-positive generator for bf16 configs whose MLP
+         integers exceed bf16's 8-bit significand; VERDICT r3 #1.)
       2. RECORDED: the serving-default-precision output.  model1/2 stay
          bit-exact by structure; model3/criteo produce layer-2+ MLP
          activations whose integers exceed the 8-bit significand the MXU
@@ -126,29 +131,34 @@ def bench_one(cfg, K):
         cfg, tables, ref.init_mlp_weights(cfg, "ones"), idx_np[0],
         dense_np[0] if dense_np is not None else None, bottom_weights=bw,
     )[:64]
-    # hard gate: exact-precision forward must be bit-exact (see docstring);
-    # same params, tiny batch (a separate small compile)
+    # hard gate: fp32-activation exact-precision forward must be bit-exact
+    # (see docstring); table storage stays the config's dtype, MLP weights
+    # cast up to fp32 (ones: exact).  Tiny batch (a separate small compile).
     from fleetrec_tpu.models import FleetRecModel
 
     model_hp = FleetRecModel.create(
-        dataclasses.replace(cfg, matmul_precision="highest"))
+        dataclasses.replace(cfg, matmul_precision="highest", dtype="float32"))
+    params_hp = dict(params)
+    params_hp["mlp"] = [w.astype(jnp.float32) for w in params["mlp"]]
     d0h = d0[:64] if d0 is not None else None
     out_hp = np.asarray(
-        jax.jit(model_hp.forward)(params, idx[0][:64], d0h), dtype=np.float64)
+        jax.jit(model_hp.forward)(params_hp, idx[0][:64], d0h), dtype=np.float64)
     assert np.array_equal(out_hp.astype(np.float32), golden.astype(np.float32)), (
-        f"{cfg.name}: EXACT-precision parity failed — wrong-row/extraction "
-        f"bug, not rounding (ours {out_hp[:4]}, oracle {golden[:4]})"
+        f"{cfg.name}: fp32-act highest-precision parity failed — the "
+        f"lookup/extraction path returned a wrong value (storage dtype "
+        f"{cfg.table_dtype}) (ours {out_hp[:4]}, oracle {golden[:4]})"
     )
+    gate = f"lookup bitexact ({cfg.table_dtype} storage, fp32-act highest gate)"
     if np.array_equal(out_head.astype(np.float32), golden.astype(np.float32)):
         parity = "bitexact"
     else:
+        maxrel = np.max(np.abs(out_head - golden) / (np.abs(golden) + 1e-30))
         assert np.allclose(out_head, golden, rtol=1e-2), (
-            f"{cfg.name}: parity check failed "
-            f"(max rel err {np.max(np.abs(out_head-golden)/(np.abs(golden)+1e-30)):.3e})"
+            f"{cfg.name}: parity check failed (max rel err {maxrel:.3e})"
         )
-        parity = ("bitexact@precision=highest; serving default rounds MLP "
-                  "operands (MXU 8-bit fp32 significand, docs/DESIGN.md) "
-                  "within rtol<1e-2")
+        parity = (f"{gate}; serving default ({cfg.dtype} activations) "
+                  f"rounds MLP operands within rtol {maxrel:.1e} "
+                  f"(MXU 8-bit fp32 significand, docs/DESIGN.md)")
     log(f"  [{cfg.name}] parity spot-check (64 rows): {parity}")
 
     if dense is not None:

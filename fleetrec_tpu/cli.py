@@ -468,7 +468,12 @@ def cmd_gatherbench(args):
         t, i, chunk=args.chunk, group=args.group, window=args.window))
     res["pallas_grouped_ns_per_row"] = (
         b.measure(table, idx)["per_iter_ms"] * 1e6 / N)
-    res.update(rows=R, gathered_rows=N, chunk=args.chunk, window=args.window,
+    # gather_rows_grouped shrinks chunk to a multiple of group; record the
+    # effective value so the JSON doesn't misstate the grouped kernel's run
+    grouped_chunk = (args.chunk // max(1, min(args.group, args.chunk))) * max(
+        1, min(args.group, args.chunk))
+    res.update(rows=R, gathered_rows=N, chunk=args.chunk,
+               grouped_chunk=grouped_chunk, window=args.window,
                group=args.group)
     print(json.dumps({k: round(v, 2) if isinstance(v, float) else v
                       for k, v in res.items()}))

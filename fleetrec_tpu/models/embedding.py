@@ -513,7 +513,19 @@ def lookup_concat(
     for i, (c, buf) in enumerate(zip(layout.onehot_classes, packed.onehot_buffers)):
         gi = jax.lax.slice_in_dim(indices, k, k + c.num_tables, axis=1)
         sc = packed.onehot_scales[i] if quant else None
-        parts.append(_onehot_lookup(buf, c, gi, sc))
+        n_buf = buf.shape[0]
+        if n_buf > c.num_tables:
+            # ShardedFleetRec.shard_params pads the class table axis to a
+            # multiple of the model-axis size (all-zero pad tables); the
+            # GSPMD training path shares those params with serving, so
+            # tolerate the padding here: pad the index columns, drop the
+            # pad tables' output columns.
+            gi = jnp.pad(gi, ((0, 0), (0, n_buf - c.num_tables)))
+            out = _onehot_lookup(buf, c, gi, sc)
+            parts.append(
+                jax.lax.slice_in_dim(out, 0, c.num_tables * c.dim, axis=1))
+        else:
+            parts.append(_onehot_lookup(buf, c, gi, sc))
         k += c.num_tables
 
     if layout.take_groups:

@@ -52,12 +52,21 @@ def mlp_apply(
     parity data (all-ones weights make each layer a power-of-two scaling
     of bf16-exact sums) but NOT for general integer-valued activations;
     pass "highest" to pin full-fp32 operands (docs/DESIGN.md "fp32 matmul
-    precision")."""
+    precision").
+
+    The COMPUTE dtype is the caller's activation dtype (x.dtype on entry):
+    inter-layer activations re-narrow to it after the fp32 accumulation,
+    and weights are cast to it per layer.  It is deliberately independent
+    of the weight STORAGE dtype — a parity gate can run fp32 activations
+    against bf16-stored weights (ones are exact in both) to isolate the
+    lookup/extraction path from MLP rounding; the r3 bench gate conflated
+    the two and false-alarmed on every bf16-dtype config (VERDICT r3 #1)."""
+    compute_dtype = x.dtype
     for i, w in enumerate(weights):
         x = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32,
                     precision=precision)
         if activation == "relu" and i < len(weights) - 1:
             x = jnp.maximum(x, 0.0)
-        if i < len(weights) - 1 and x.dtype != w.dtype:
-            x = x.astype(w.dtype)
+        if i < len(weights) - 1 and x.dtype != compute_dtype:
+            x = x.astype(compute_dtype)
     return x.astype(out_dtype)

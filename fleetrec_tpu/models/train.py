@@ -28,6 +28,28 @@ def bce_with_logits(scores: jax.Array, labels: jax.Array) -> jax.Array:
     )
 
 
+def check_trainable(params) -> None:
+    """Fail fast (at trace time) when the table storage is int8-quantized:
+    gradients through quantized buffers are meaningless and jax.grad rejects
+    integer inputs with an opaque error.  Train with table_dtype float32/
+    bfloat16 and quantize the checkpoint for serving (model3's serving
+    default is int8 tables, config.py)."""
+    pt = params.get("tables") if isinstance(params, dict) else None
+    if pt is None:
+        return
+    bufs = list(getattr(pt, "onehot_buffers", []) or [])
+    if getattr(pt, "take_buffer", None) is not None:
+        bufs.append(pt.take_buffer)
+    for b in bufs:
+        if jnp.dtype(b.dtype) == jnp.int8:
+            raise ValueError(
+                "training requires float table storage (table_dtype='float32' "
+                "or 'bfloat16'); this params pytree holds int8-quantized "
+                "tables — rebuild with a float table_dtype and quantize only "
+                "the serving checkpoint"
+            )
+
+
 class Trainer:
     """Minimal CTR trainer: loss = BCE(score, click)."""
 
@@ -44,6 +66,7 @@ class Trainer:
 
         @jax.jit
         def step(params, opt_state, indices, dense, labels):
+            check_trainable(params)
             loss, grads = jax.value_and_grad(loss_fn)(params, indices, dense, labels)
             updates, opt_state = self.opt.update(grads, opt_state, params)
             import optax as _optax

@@ -115,8 +115,8 @@ def gather_rows_grouped(
     interpret: bool = False,
 ) -> jax.Array:
     """Grouped-DMA gather: rows of ``table`` [R, L] at ``phys_idx`` [N] ->
-    [N, L].  See _gather_grouped_kernel; measured by ``cli gatherbench
-    --mode grouped``."""
+    [N, L].  See _gather_grouped_kernel; ``cli gatherbench`` reports it as
+    pallas_grouped_ns_per_row (alongside take and the per-row kernel)."""
     N = phys_idx.shape[0]
     L = table.shape[1]
     group = max(1, min(group, chunk))

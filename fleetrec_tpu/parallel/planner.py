@@ -9,10 +9,12 @@ is — before paying a compile.
 
 Three artifacts:
 
-* ``plan()`` -> PlacementPlan: per-chip byte accounting (one-hot buffers and
-  MLP weights replicate; the unified take buffer row-shards over the
-  "model" axis), per-shard row ranges with the tables they touch, and the
-  expected fraction of gathers each shard serves under uniform traffic.
+* ``plan()`` -> PlacementPlan: per-chip byte accounting (MLP weights and
+  the W1 fold replicate; the unified take buffer row-shards and the
+  one-hot/factored class buffers table-axis-shard over the "model" axis),
+  per-shard row ranges with the tables they touch, each shard's one-hot
+  class partition, and the expected fraction of gathers each shard serves
+  under uniform traffic.
 
 * ``split_table_columns()``: column-wise sharding of a giant/hot table —
   splits one dim-d table into k dim-(d/k) parts covering disjoint column
@@ -44,7 +46,9 @@ def _round_up(x: int, m: int) -> int:
 
 @dataclasses.dataclass(frozen=True)
 class ShardReport:
-    """One model-axis shard's slice of the unified take buffer."""
+    """One model-axis shard's slice of the unified take buffer plus its
+    partition of the one-hot/factored classes (VERDICT r3 #7: classes are
+    table-axis sharded, each shard computes selection only for its own)."""
 
     shard: int
     phys_row_start: int
@@ -55,6 +59,9 @@ class ShardReport:
     # expected fraction of all take-gathers this shard serves when every
     # table's indices are uniform over its rows (1/n_model = perfectly flat)
     uniform_load_frac: float
+    # one-hot/factored table ids this shard owns (computes selection for),
+    # in class order — ShardedFleetRec._local_pre's contiguous split
+    onehot_tables: Tuple[int, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,7 +70,8 @@ class PlacementPlan:
     n_model: int
     table_dtype: str
     # per-chip byte accounting
-    onehot_bytes: int          # replicated on every chip
+    onehot_bytes: int          # total across shards (table-axis sharded)
+    onehot_bytes_per_chip: int  # this chip's class partition (incl. padding)
     mlp_bytes: int             # replicated on every chip
     # permutation-folded W1 ([src_cols, H1], staged once per params by
     # ShardedFleetRec.shard_params when H1 < feature_dim) — replicated
@@ -97,7 +105,8 @@ def plan(
 
     Mirrors exactly what ``ShardedFleetRec.shard_params`` will do: the take
     buffer pads to a multiple of n_model and splits into equal row ranges;
-    one-hot class buffers, scales and MLP weights replicate.
+    each one-hot/factored class's table axis pads likewise and splits into
+    ceil(n/M)-table blocks; MLP weights and the W1 fold replicate.
     """
     B = batch_size or cfg.batch_size
     layout = build_layout(cfg.tables, cfg.feature_dim, cfg.dense_dim,
@@ -115,13 +124,14 @@ def plan(
     # dim is already a lane multiple: no bloat, only sublane padding on R1.
     sublane = {4: 8, 2: 16, 1: 32}[isz]
     onehot_bytes = 0
+    onehot_bytes_per_chip = 0
     for c in layout.onehot_classes:
-        if c.r2:
-            onehot_bytes += (c.num_tables * _round_up(c.r1, sublane)
-                             * c.r2 * c.dim * isz)
-        else:
-            onehot_bytes += (c.num_tables * _round_up(c.rows_pad, sublane)
-                             * LANES * isz)
+        per_table = (_round_up(c.r1, sublane) * c.r2 * c.dim * isz if c.r2
+                     else _round_up(c.rows_pad, sublane) * LANES * isz)
+        onehot_bytes += c.num_tables * per_table
+        # shard_params pads the class table axis to a multiple of n_model
+        # and shards it; each chip holds ceil(n_pad/M) = ceil(n/M) tables
+        onehot_bytes_per_chip += -(-c.num_tables // n_model) * per_table
     mlp_isz = _ITEMSIZE[cfg.dtype]
     w = cfg.mlp.widths
     mlp_bytes = sum(a * b for a, b in zip(w[:-1], w[1:])) * mlp_isz
@@ -169,6 +179,12 @@ def plan(
                 # each take-table contributes 1/n_take of the gathers; a
                 # uniform index lands on this shard w.p. overlap/table_rows
                 load += (ov / pr) / max(n_take, 1)
+        # one-hot/factored class partition: contiguous ceil(n/M)-table
+        # blocks of each class (matches ShardedFleetRec._local_pre)
+        oh_owned: List[int] = []
+        for c in layout.onehot_classes:
+            n_loc = -(-c.num_tables // n_model)
+            oh_owned.extend(c.table_ids[s * n_loc : (s + 1) * n_loc])
         shards.append(
             ShardReport(
                 shard=s,
@@ -177,6 +193,7 @@ def plan(
                 take_bytes=take_bytes_per_chip,
                 tables_touched=tuple(touched),
                 uniform_load_frac=round(load, 6),
+                onehot_tables=tuple(oh_owned),
             )
         )
 
@@ -185,21 +202,20 @@ def plan(
     act = B * (n_take * layout.take_lanes * isz + (cfg.feature_dim + max(w)) * 4)
     act *= max_in_flight
 
-    replicated = onehot_bytes + mlp_bytes + w1_fold_bytes + act
-    per_chip = replicated + take_bytes_per_chip
+    replicated = mlp_bytes + w1_fold_bytes + act
+    per_chip = replicated + take_bytes_per_chip + onehot_bytes_per_chip
     fits = per_chip <= hbm_budget_bytes
     avail = hbm_budget_bytes - replicated
     if avail <= 0:
         min_shards = 0
-    elif take_bytes_total == 0:
+    elif take_bytes_total == 0 and onehot_bytes == 0:
         min_shards = 1
     else:
-        # rows_per_shard * lanes * isz <= avail
-        max_rows_per_shard = avail // (layout.take_lanes * isz)
-        # not even one take row fits next to the replicated parts: no
-        # shard count helps
-        min_shards = (int(-(-phys_total // max_rows_per_shard))
-                      if max_rows_per_shard > 0 else 0)
+        # (take + one-hot) bytes both divide by the model axis now; solve
+        # sharded_total / M <= avail (class padding ignored: <= one
+        # table's bytes per class)
+        sharded_total = phys_total * layout.take_lanes * isz + onehot_bytes
+        min_shards = max(1, int(-(-sharded_total // avail)))
 
     notes = []
     if layout.take_phys_total:
@@ -221,6 +237,7 @@ def plan(
         n_model=n_model,
         table_dtype=cfg.table_dtype,
         onehot_bytes=onehot_bytes,
+        onehot_bytes_per_chip=onehot_bytes_per_chip,
         mlp_bytes=mlp_bytes,
         w1_fold_bytes=w1_fold_bytes,
         take_bytes_total=take_bytes_total,

@@ -22,9 +22,16 @@ heads always use this form: they consume the feature vector itself).
 Letting GSPMD partition the same program placed the all-reduce on the
 un-extracted gathered rows ([B*n_take, 128] — 11-16x more ICI bytes;
 measured via HLO inspection, see docs/DESIGN.md), which is why the
-collective is placed by hand; tests/test_hlo.py pins the placement.  The
-one-hot (small-table) path and the dense tail are computed replicated and
-contributed by shard 0 only, so the psum stays correct.
+collective is placed by hand; tests/test_hlo.py pins the placement.
+
+The one-hot/factored (small- and mid-table) classes are PARTITIONED over
+the model axis too (n_model > 1): each class's table axis is padded to a
+multiple of M and sharded P("model", ...), so shard m computes the
+selection matmuls only for its n/M tables and contributes them to the
+same psum — the r3 design computed every class on every shard and
+multiplied M-1 copies by zero (replicated wasted MXU/VPU work, material
+for criteo's forced n_model>=4 where the factored tier is the heavy
+stage; VERDICT r3 #7).  The dense tail stays shard-0-contributed.
 
 Training keeps the GSPMD path (autodiff-friendly; throughput of the
 backward is not the serving-critical path).
@@ -96,13 +103,15 @@ class ShardedFleetRec:
         mesh = self.mesh
         repl = NamedSharding(mesh, P())
         rowshard = NamedSharding(mesh, P("model", None))
+        tabshard = NamedSharding(mesh, P("model", None, None))
         pt = params["tables"]
-        # one-hot class buffers are small (the PLRAM/URAM class): replicate
-        # so every shard can compute that path locally (shard 0 contributes).
-        oh = [repl for _ in pt.onehot_buffers]
+        # one-hot/factored class buffers: table axis sharded over "model"
+        # (padded to a multiple of M by shard_params) so each shard computes
+        # the selection matmuls only for its tables (VERDICT r3 #7).
+        oh = [tabshard for _ in pt.onehot_buffers]
         leaves = oh + ([rowshard] if pt.take_buffer is not None else [])
-        if pt.onehot_scales is not None:  # int8 dequant scales: replicated
-            leaves += [repl for _ in pt.onehot_scales]
+        if pt.onehot_scales is not None:  # int8 dequant scales follow tables
+            leaves += [tabshard for _ in pt.onehot_scales]
             if pt.take_scales is not None:
                 leaves.append(repl)
         tables = jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(pt), leaves)
@@ -124,7 +133,9 @@ class ShardedFleetRec:
 
     def shard_params(self, params):
         """Pad the take buffer to a row-count divisible by the model axis
-        (pad rows are never indexed), then place params."""
+        (pad rows are never indexed) and every one-hot class's table axis
+        likewise (pad tables are all-zero and never selected), then place
+        params."""
         m = self.n_model
         tables = params["tables"]
         take = tables.take_buffer
@@ -132,7 +143,23 @@ class ShardedFleetRec:
             pad = (-take.shape[0]) % m
             if pad:
                 take = jnp.pad(take, ((0, pad), (0, 0)))
-        tables = dataclasses.replace(tables, take_buffer=take)
+        oh_bufs = []
+        for buf in tables.onehot_buffers:
+            pad = (-buf.shape[0]) % m
+            oh_bufs.append(jnp.pad(buf, ((0, pad),) + ((0, 0),) * (buf.ndim - 1))
+                           if pad else buf)
+        oh_scales = tables.onehot_scales
+        if oh_scales is not None:
+            padded = []
+            for sc in oh_scales:
+                pad = (-sc.shape[0]) % m
+                # pad scale = 1.0: multiplies all-zero pad-table outputs
+                padded.append(jnp.pad(sc, ((0, pad), (0, 0), (0, 0)),
+                                      constant_values=1.0) if pad else sc)
+            oh_scales = padded
+        tables = dataclasses.replace(
+            tables, take_buffer=take, onehot_buffers=oh_bufs,
+            onehot_scales=oh_scales)
         params = {**params, "tables": tables}
         if self._use_w1_fold:
             params["w1_fold"] = self.fold_w1(params["mlp"][0])
@@ -168,10 +195,33 @@ class ShardedFleetRec:
 
         pt = params["tables"]
         quant = pt.onehot_scales is not None
+        M = self.n_model
         for i, (c, buf) in enumerate(zip(layout.onehot_classes, pt.onehot_buffers)):
             gi = jax.lax.slice_in_dim(indices, k, k + c.num_tables, axis=1)
-            parts.append(_onehot_lookup(buf, c, gi, pt.onehot_scales[i] if quant else None))
             k += c.num_tables
+            sc = pt.onehot_scales[i] if quant else None
+            if M == 1:
+                parts.append(_onehot_lookup(buf, c, gi, sc))
+                continue
+            # Partitioned class: buf/sc arrive as the LOCAL table-axis shard
+            # [n_loc, ...] (n_loc = n_pad/M, shard_params pads with zero
+            # tables).  Shard m selects only its own tables' columns of the
+            # index matrix, computes its n_loc lookups, and places the
+            # result at its column offset of the class output — the psum
+            # reassembles the full [B, n*d] (pad-table columns are sliced
+            # off).  This is what removes the r3 compute-then-zero waste.
+            n, d = c.num_tables, c.dim
+            n_loc = buf.shape[0]
+            n_pad = n_loc * M
+            gi_pad = (jnp.pad(gi, ((0, 0), (0, n_pad - n)))
+                      if n_pad > n else gi)
+            gi_loc = jax.lax.dynamic_slice(
+                gi_pad, (0, midx * n_loc), (B, n_loc))
+            out_loc = _onehot_lookup(buf, c, gi_loc, sc)  # [B, n_loc*d]
+            full = jnp.zeros((B, n_pad * d), out_loc.dtype)
+            full = jax.lax.dynamic_update_slice(
+                full, out_loc, (0, midx * n_loc * d))
+            parts.append(jax.lax.slice_in_dim(full, 0, n * d, axis=1))
 
         if layout.take_groups:
             from ..models.embedding import take_phys_sub
@@ -208,13 +258,9 @@ class ShardedFleetRec:
                 kk += ng
 
         emb = jnp.concatenate(parts, axis=1) if parts else jnp.zeros((B, 0))
-        # shard 0 contributes the replicated parts (one-hot outs + dense);
-        # others contribute zeros so the feature psum is exact.
-        n_oh_cols = sum(c.num_tables * c.dim for c in layout.onehot_classes)
-        if n_oh_cols:
-            zero_first = jnp.where(midx == 0, 1.0, 0.0).astype(emb.dtype)
-            emb = emb.at[:, :n_oh_cols].multiply(zero_first)
-
+        # one-hot columns are already per-shard partials (each shard filled
+        # only its own tables' columns above); only the replicated dense
+        # tail needs the shard-0 mask so the psum stays exact.
         srcs = [emb]
         if layout.dense_dim:
             d = dense.astype(emb.dtype)
@@ -341,10 +387,10 @@ class ShardedFleetRec:
     # Build in_specs as a pytree matching the params dict.
     def _make_specs(self, params_like):
         pt = params_like["tables"]
-        oh = [P(None, None, None) for _ in pt.onehot_buffers]
+        oh = [P("model", None, None) for _ in pt.onehot_buffers]
         leaves = oh + ([P("model", None)] if pt.take_buffer is not None else [])
         if pt.onehot_scales is not None:
-            leaves += [P(None, None, None) for _ in pt.onehot_scales]
+            leaves += [P("model", None, None) for _ in pt.onehot_scales]
             if pt.take_scales is not None:
                 leaves.append(P(None))
         tables = jax.tree_util.tree_unflatten(
@@ -432,6 +478,9 @@ class ShardedFleetRec:
             )
 
         def step(params, indices, dense, labels, lr):
+            from ..models.train import check_trainable
+
+            check_trainable(params)  # int8 tables are not trainable
             # w1_fold is DERIVED from mlp[0]: keep it out of the grad tree
             # and re-fold from the updated W1 so serving after training
             # never sees a stale fold.

@@ -26,6 +26,15 @@ class ServeBenchResult:
     latency_ms_p99: float
     latency_ms_max: float
     mean_batch_fill: float
+    # decomposition (VERDICT r3 #5): end-to-end latency = batch-formation
+    # wait (host-side, tunnel-independent) + dispatch->scores-on-host
+    # service time (on this rig dominated by the tunnel RPC/readback; on a
+    # host-attached chip ~ device compute + ~0.1-0.3 ms dispatch).
+    wait_ms_p50: float = 0.0   # per query: arrival -> its batch dispatched
+    wait_ms_p99: float = 0.0
+    service_ms_p50: float = 0.0  # per dispatch: dispatch -> scores on host
+    service_ms_p99: float = 0.0
+    n_dispatches: int = 0
 
     def to_json(self):
         return dataclasses.asdict(self)
@@ -42,6 +51,7 @@ def run_servebench(
     max_in_flight: int = 2,
     device_pool: bool = False,
     fuse: int = 1,
+    simulate_service_ms: Optional[float] = None,
 ) -> ServeBenchResult:
     """Simulate Poisson arrivals at offered_qps; form batches of up to
     batch_size, dispatching early after max_wait_ms; score on device.
@@ -64,12 +74,29 @@ def run_servebench(
     rate). At production dispatch overhead (~0.1-0.3 ms/call) fuse=1 is
     the right setting; the latency cost of fusing is K*B/offered_qps of
     added queueing.
+
+    simulate_service_ms=X runs the SAME arrival/batching/in-flight-window
+    loop but replaces the device call with a virtual service time of X ms
+    per dispatch (batches serialize on the one virtual device; the pop
+    path sleeps until virtual completion, so the closed-loop dynamics are
+    real).  Pass the DeviceBench-measured per-batch device time (+ the
+    production ~0.3 ms dispatch) to get a production-shaped p99 with the
+    tunnel term excluded — the mechanism behind the production-p99 bound
+    in artifacts/P99_TABLE.json (VERDICT r3 #5).  model/params are unused
+    (may be None) in this mode.
     """
+    rng = np.random.default_rng(seed)
+    if simulate_service_ms is not None:
+        return _run_simulated(
+            batch_size=batch_size, offered_qps=offered_qps,
+            duration_s=duration_s, max_wait_ms=max_wait_ms, rng=rng,
+            max_in_flight=max_in_flight, fuse=fuse,
+            service_ms=simulate_service_ms)
+
     import jax
     import jax.numpy as jnp
 
     cfg = model.cfg
-    rng = np.random.default_rng(seed)
     fwd = jax.jit(model.forward)
 
     # pre-generate a pool of query rows to sample batches from cheaply
@@ -121,7 +148,9 @@ def run_servebench(
     group = batch_size * fuse  # queries per dispatch
     lat = []
     fills = []
-    in_flight = []  # (scores_dev, member_arrivals)
+    waits = []      # per query: arrival -> its batch dispatched (ms)
+    services = []   # per dispatch: dispatch -> scores on host (ms)
+    in_flight = []  # (scores_dev, member_arrivals, dispatch_time)
     t0 = time.time()
     qi = 0
     wall_cap = duration_s * 10  # overload guard: stop reporting what's done
@@ -146,6 +175,8 @@ def run_servebench(
                 break
             time.sleep(0.0002)
         count = max(end - qi, 1)
+        t_disp = time.time() - t0
+        waits.extend((t_disp - arrivals[qi:qi + count]) * 1e3)
         if fuse > 1:
             wrap = max(POOL - batch_size, 1)
             starts = jnp.asarray(
@@ -159,20 +190,24 @@ def run_servebench(
             bi = jnp.asarray(idx_pool[sel])
             bd = None if dense_pool is None else jnp.asarray(dense_pool[sel])
             scores = fwd(params, bi, bd)
-        in_flight.append((scores, arrivals[qi:qi + count].copy()))
+        in_flight.append((scores, arrivals[qi:qi + count].copy(), t_disp))
         fills.append(count / group)
         qi += count
         while len(in_flight) > max_in_flight:
-            s, arr = in_flight.pop(0)
+            s, arr, td = in_flight.pop(0)
             np.asarray(s)  # readback forces completion
             done = time.time() - t0
             lat.extend((done - arr) * 1e3)
-    for s, arr in in_flight:
+            services.append((done - td) * 1e3)
+    for s, arr, td in in_flight:
         np.asarray(s)
         done = time.time() - t0
         lat.extend((done - arr) * 1e3)
+        services.append((done - td) * 1e3)
     wall = time.time() - t0
     lat = np.asarray(lat)
+    waits_a = np.asarray(waits[: len(lat)])
+    services_a = np.asarray(services)
     return ServeBenchResult(
         offered_qps=offered_qps,
         achieved_qps=len(lat) / wall,
@@ -181,4 +216,95 @@ def run_servebench(
         latency_ms_p99=float(np.percentile(lat, 99)),
         latency_ms_max=float(lat.max()),
         mean_batch_fill=float(np.mean(fills)),
+        wait_ms_p50=float(np.percentile(waits_a, 50)) if len(waits_a) else 0.0,
+        wait_ms_p99=float(np.percentile(waits_a, 99)) if len(waits_a) else 0.0,
+        service_ms_p50=float(np.percentile(services_a, 50)) if len(services_a) else 0.0,
+        service_ms_p99=float(np.percentile(services_a, 99)) if len(services_a) else 0.0,
+        n_dispatches=len(services_a),
+    )
+
+
+def _run_simulated(
+    batch_size: int,
+    offered_qps: float,
+    duration_s: float,
+    max_wait_ms: float,
+    rng,
+    max_in_flight: int,
+    fuse: int,
+    service_ms: float,
+) -> ServeBenchResult:
+    """The servebench loop with a virtual device: same Poisson arrivals,
+    same batch formation, same bounded in-flight window — service time is
+    ``service_ms`` per dispatch and dispatches serialize on one virtual
+    device.  See run_servebench(simulate_service_ms=...)."""
+    n_max = int(offered_qps * duration_s * 1.2) + batch_size
+    gaps = rng.exponential(1.0 / offered_qps, size=n_max)
+    arrivals = np.cumsum(gaps)
+    arrivals = arrivals[arrivals < duration_s]
+
+    group = batch_size * fuse
+    lat, fills, waits, services = [], [], [], []
+    in_flight = []  # (virtual_completion, member_arrivals, dispatch_time)
+    last_comp = 0.0
+    t0 = time.time()
+    qi = 0
+    wall_cap = duration_s * 10
+    while qi < len(arrivals):
+        if time.time() - t0 > wall_cap:
+            arrivals = arrivals[:qi]
+            break
+        now = time.time() - t0
+        if arrivals[qi] > now:
+            time.sleep(min(arrivals[qi] - now, 0.001))
+            continue
+        deadline = arrivals[qi] + max_wait_ms / 1e3
+        end = qi
+        while True:
+            now = time.time() - t0
+            arrived = np.searchsorted(arrivals, now)
+            end = min(arrived, qi + group)
+            if end - qi >= group or now >= deadline:
+                break
+            time.sleep(0.0002)
+        count = max(end - qi, 1)
+        t_disp = time.time() - t0
+        waits.extend((t_disp - arrivals[qi:qi + count]) * 1e3)
+        comp = max(t_disp, last_comp) + service_ms * fuse / 1e3
+        last_comp = comp
+        in_flight.append((comp, arrivals[qi:qi + count].copy(), t_disp))
+        fills.append(count / group)
+        qi += count
+        while len(in_flight) > max_in_flight:
+            c, arr, td = in_flight.pop(0)
+            now = time.time() - t0
+            if c > now:
+                time.sleep(c - now)  # virtual completion blocks like a readback
+            done = max(time.time() - t0, c)
+            lat.extend((done - arr) * 1e3)
+            services.append((done - td) * 1e3)
+    for c, arr, td in in_flight:
+        now = time.time() - t0
+        if c > now:
+            time.sleep(c - now)
+        done = max(time.time() - t0, c)
+        lat.extend((done - arr) * 1e3)
+        services.append((done - td) * 1e3)
+    wall = time.time() - t0
+    lat = np.asarray(lat)
+    waits_a = np.asarray(waits[: len(lat)])
+    services_a = np.asarray(services)
+    return ServeBenchResult(
+        offered_qps=offered_qps,
+        achieved_qps=len(lat) / wall,
+        n_queries=len(lat),
+        latency_ms_p50=float(np.percentile(lat, 50)),
+        latency_ms_p99=float(np.percentile(lat, 99)),
+        latency_ms_max=float(lat.max()),
+        mean_batch_fill=float(np.mean(fills)),
+        wait_ms_p50=float(np.percentile(waits_a, 50)) if len(waits_a) else 0.0,
+        wait_ms_p99=float(np.percentile(waits_a, 99)) if len(waits_a) else 0.0,
+        service_ms_p50=float(np.percentile(services_a, 50)) if len(services_a) else 0.0,
+        service_ms_p99=float(np.percentile(services_a, 99)) if len(services_a) else 0.0,
+        n_dispatches=len(services_a),
     )

@@ -1,24 +1,29 @@
-"""Committed p99-at-load table for all five BASELINE configs (VERDICT r2
-#4): offered Poisson load at ~80% of the relevant sustainable rate,
-per-query p50/p99 through batch formation + device scoring + readback,
-fused and unfused — the checkable artifact behind BASELINE's "p99 <= 20 ms
-at target throughput" (reference metric: per-batch max-over-senders
-latency post-processing, cuda_server.c:704-744).
+"""Committed p99-at-load table for all five BASELINE configs — now with the
+latency decomposition and a production-p99 bound that excludes the tunnel
+term (VERDICT r3 #5; reference metric: per-batch max-over-senders latency
+post-processing, cuda_server.c:704-744).
 
-Two operating points per config:
-  * fused (fuse=32, device pool): offered = 80% of the scan-measured
-    DEVICE rate — the production-shaped dispatch (amortizes this dev
-    setup's ~29 ms tunnel RPC floor the way a host-attached chip's cheap
-    dispatch does naturally).
-  * unfused (fuse=1, device pool): offered = 80% of the measured PER-CALL
-    rate of THIS rig.  On the tunneled dev chip the per-call rate is
-    RPC-bound (~30 ms/call), so this point characterizes the tunnel, not
-    the engine; it is included because the reference's rig is also
-    per-batch blocking.  Production fuse=1 p99 ~= batch-fill wait +
-    compute (docs/DESIGN.md "tunnel dispatch floor").
+Three operating points per config:
+  * production_sim: the servebench loop (same arrivals, batching, bounded
+    in-flight window) with service time = the DeviceBench-MEASURED
+    per-batch device ms + 0.3 ms production dispatch, offered at 80% of
+    the device rate.  This is the committed production-p99 bound: every
+    term is either measured on this chip (device ms) or stated (0.3 ms
+    dispatch, GB/s-class H2D/readback which add <0.1 ms for these batch
+    sizes) — the tunnel does not appear.  SLA verdict (p99 <= 20 ms,
+    BASELINE.md) is computed from this point.
+  * fused (fuse=32, device pool): the real chip behind the tunnel with the
+    RPC floor amortized — demonstrates the engine sustains ~the device
+    rate end-to-end on THIS rig.
+  * unfused (fuse=1, device pool): characterizes the tunnel per-call floor
+    (kept for continuity with r2/r3 artifacts; not SLA-relevant).
+
+Every run stamps artifacts/P99_TABLE.json with a tunnel-health probe
+(utils/tunnelhealth.py) so cross-artifact rate discrepancies are
+attributable to the window they were captured in (VERDICT r3 weak #3).
 
 Each config runs in its own subprocess (fresh HBM; a hung tunnel readback
-costs one config, not the table).  Writes artifacts/P99_TABLE.json.
+costs one config, not the table).
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/p99_table.py
 """
@@ -37,14 +42,21 @@ CONFIGS = [
     ("tiny_dlrm", {}, 0),
     ("fleetrec_model2", {}, 2_000_000),
     ("fleetrec_model3", {}, 1_000_000),
-    ("criteo_terabyte", {"dtype": "bfloat16"}, 4_000_000),
+    ("criteo_terabyte", {}, 4_000_000),
 ]
 B = 4096
 FUSE = 32
+PROD_DISPATCH_MS = 0.3  # host-attached chip per-call dispatch (stated)
+SLA_P99_MS = 20.0       # BASELINE.md
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _round_res(res):
+    return {k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in res.to_json().items()}
 
 
 def run_one(name):
@@ -57,6 +69,7 @@ def run_one(name):
     from fleetrec_tpu.models import init_model
     from fleetrec_tpu.serving.servebench import run_servebench
     from fleetrec_tpu.utils.timing import DeviceBench
+    from fleetrec_tpu.utils.tunnelhealth import probe
 
     kw, cap = next((k, c) for n, k, c in CONFIGS if n == name)
     cfg = C.get_config(name, batch_size=B, **kw)
@@ -83,9 +96,12 @@ def run_one(name):
         return model.forward(p, x, None)
 
     r = DeviceBench(step).measure(params, (idx, dense) if dense is not None else idx)
-    device_qps = B / (r["per_iter_ms"] / 1e3)
+    device_ms = r["per_iter_ms"]
+    device_qps = B / (device_ms / 1e3)
+    health = probe()
     log(f"[{name}] device rate {device_qps/1e6:.2f} M q/s "
-        f"({r['per_iter_ms']:.2f} ms/batch)")
+        f"({device_ms:.2f} ms/batch); tunnel rpc {health['rpc_ms']} ms "
+        f"h2d {health['h2d_mbps']} MB/s")
 
     # per-call rate of this rig (fuse=1, device pool): time blocking calls
     fwd = jax.jit(model.forward)
@@ -102,23 +118,37 @@ def run_one(name):
         f"({percall_s*1e3:.1f} ms/call)")
 
     out = {"batch": B, "device_qps": round(device_qps, 1),
-           "ms_per_batch_device": round(r["per_iter_ms"], 4),
-           "percall_ms": round(percall_s * 1e3, 2)}
+           "ms_per_batch_device": round(device_ms, 4),
+           "percall_ms": round(percall_s * 1e3, 2),
+           "tunnel_health": health}
+
+    # production-p99 bound: measured device ms + stated production
+    # dispatch, through the real engine loop at 80% of the device rate
+    sim = run_servebench(
+        None, None, batch_size=B, offered_qps=0.8 * device_qps,
+        duration_s=8.0, max_wait_ms=2.0,
+        simulate_service_ms=device_ms + PROD_DISPATCH_MS)
+    out["production_sim"] = {
+        **_round_res(sim),
+        "service_model_ms": round(device_ms + PROD_DISPATCH_MS, 3),
+        "basis": "measured device ms (scan+readback) + 0.3 ms stated "
+                 "production dispatch; real engine loop, no tunnel term",
+        "sla_p99_ms": SLA_P99_MS,
+        "meets_sla": bool(sim.latency_ms_p99 <= SLA_P99_MS),
+    }
+    log(f"[{name}] production_sim: offered {0.8*device_qps/1e6:.2f}M "
+        f"achieved {sim.achieved_qps/1e6:.2f}M p50 {sim.latency_ms_p50:.1f} "
+        f"p99 {sim.latency_ms_p99:.1f} ms "
+        f"({'MEETS' if sim.latency_ms_p99 <= SLA_P99_MS else 'MISSES'} "
+        f"{SLA_P99_MS} ms SLA)")
+
     for mode, fuse, rate in (("fused", FUSE, device_qps),
                              ("unfused", 1, unfused_qps)):
         offered = 0.8 * rate
         res = run_servebench(model, params, batch_size=B, offered_qps=offered,
                              duration_s=6.0, max_wait_ms=2.0,
                              device_pool=True, fuse=fuse)
-        out[mode] = {
-            "fuse": fuse,
-            "offered_qps": round(offered, 1),
-            "achieved_qps": round(res.achieved_qps, 1),
-            "p50_ms": round(res.latency_ms_p50, 2),
-            "p99_ms": round(res.latency_ms_p99, 2),
-            "max_ms": round(res.latency_ms_max, 2),
-            "mean_batch_fill": round(res.mean_batch_fill, 3),
-        }
+        out[mode] = {"fuse": fuse, **_round_res(res)}
         log(f"[{name}] {mode}: offered {offered/1e6:.2f}M achieved "
             f"{res.achieved_qps/1e6:.2f}M p50 {res.latency_ms_p50:.1f} "
             f"p99 {res.latency_ms_p99:.1f} ms")
@@ -128,13 +158,18 @@ def run_one(name):
 
 
 def main():
+    from fleetrec_tpu.utils.tunnelhealth import probe
+
+    health0 = probe()
+    print(f"tunnel health at start: {health0}", file=sys.stderr, flush=True)
+
     results = {}
     for name, _kw, _cap in CONFIGS:
         log(f"=== {name} ===")
         try:
             p = subprocess.run(
                 [sys.executable, __file__, "--one", name],
-                stdout=subprocess.PIPE, stderr=None, text=True, timeout=1200,
+                stdout=subprocess.PIPE, stderr=None, text=True, timeout=1800,
                 env=dict(os.environ,
                          PYTHONPATH="/root/.axon_site:" + REPO),
             )
@@ -146,14 +181,16 @@ def main():
             results[name] = {"error": f"{type(e).__name__}: {e}"}
 
     art = {
-        "what": "per-query p50/p99 at ~80% offered load, fused and unfused "
-                "(servebench Poisson rig; latency = arrival -> scores on host)",
-        "hardware": "1 tunneled TPU v5e chip (dev setup): per-call dispatch "
-                    "carries ~29 ms RPC the production host-attached chip "
-                    "does not; fused points amortize it, unfused points "
-                    "characterize the tunnel floor (docs/DESIGN.md)",
+        "what": "per-query p50/p99 at ~80% offered load with the latency "
+                "decomposition {batch-fill wait, service} per point; "
+                "production_sim is the committed production-p99 bound "
+                "(measured device ms + 0.3 ms dispatch through the real "
+                "engine loop, tunnel excluded) and carries the SLA verdict",
+        "hardware": "1 tunneled TPU v5e chip (dev setup); each config's "
+                    "record embeds its own tunnel-health probe",
         "sla_reference": "BASELINE.md p99 <= 20 ms at target throughput; "
                          "reference metric cuda_server.c:704-744",
+        "tunnel_health_at_start": health0,
         "configs": results,
     }
     out_path = os.path.join(REPO, "artifacts", "P99_TABLE.json")

@@ -67,7 +67,11 @@ def test_reference_models_gather_exact(name):
     small = tuple(
         dataclasses.replace(t, rows=min(t.rows, 512)) for t in cfg.tables
     )
-    cfg = dataclasses.replace(cfg, tables=small)
+    # fp32 storage: the rowid scheme's values (0..511) are not int8-
+    # representable and this test pins gather GEOMETRY, not quantization
+    # (model3 defaults to int8 tables; its int8 parity is covered by
+    # test_int8_quantized_parity_pm1 and the chip STORAGE_PARITY artifact).
+    cfg = dataclasses.replace(cfg, tables=small, table_dtype="float32")
     tables = ref.init_tables(cfg, scheme="rowid")
     model, params = init_model(cfg, tables_np=tables)
     B = cfg.batch_size
@@ -180,3 +184,25 @@ def test_int8_quantized_error_bound():
     # micro MLP the score error stays small
     np.testing.assert_allclose(s8, s32, atol=0.3)
     assert np.mean(np.abs(s8 - s32)) < 0.05
+
+
+def test_int8_activation_dtype_rejected():
+    """dtype (activations) must not accept int8 — int8 activations score
+    garbage silently (VERDICT r3 weak #4); quantized storage goes through
+    table_dtype instead."""
+    import dataclasses
+
+    with pytest.raises(AssertionError, match="activation"):
+        C.criteo_terabyte(dtype="int8")
+    with pytest.raises(AssertionError, match="activation"):
+        dataclasses.replace(C.micro_test(), dtype="int8").validate()
+    # the legal quantized spelling still works
+    cfg = C.criteo_terabyte(dtype="bfloat16", table_dtype="int8")
+    assert cfg.dtype == "bfloat16" and cfg.table_dtype == "int8"
+
+
+def test_model3_defaults_int8_tables():
+    """model3's benched configuration is its measured-best operating point
+    (VERDICT r3 #3): int8 table storage, fp32 activations."""
+    cfg = C.fleetrec_model3(batch_size=8)
+    assert cfg.table_dtype == "int8" and cfg.dtype == "float32"

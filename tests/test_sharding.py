@@ -68,8 +68,13 @@ def test_fleetrec_model3_two_shard_layout():
     """Model-3's two-FPGA table split sharded over model axis: scores match
     the oracle (the ICI replacement for the 2xFPGA + CPU -> GPU topology)."""
     cfg = C.fleetrec_model3(batch_size=16)
+    # fp32 storage: the rowid scheme's values (~1e5) are not int8-
+    # representable and this test pins the two-shard TOPOLOGY (model3's
+    # int8 default parity is covered by test_parity + STORAGE_PARITY).
     cfg = dataclasses.replace(
-        cfg, tables=tuple(dataclasses.replace(t, rows=min(t.rows, 128)) for t in cfg.tables)
+        cfg,
+        tables=tuple(dataclasses.replace(t, rows=min(t.rows, 128)) for t in cfg.tables),
+        table_dtype="float32",
     )
     tables = ref.init_tables(cfg, scheme="rowid")
     ws = ref.init_mlp_weights(cfg, scheme="uniform")
@@ -104,3 +109,70 @@ def test_trainer_reduces_loss_and_serves():
     scores = np.asarray(jax.jit(model.forward)(params, jnp.asarray(idx), jnp.asarray(dense)))
     acc = np.mean((scores > 0) == (labels > 0.5))
     assert acc > 0.8, acc
+
+
+@pytest.mark.parametrize("data,model_ax", [(1, 8), (2, 4)])
+def test_partitioned_onehot_int8_matches_single(data, model_ax):
+    """Model-axis-partitioned one-hot classes with int8 storage: the
+    padded per-shard dequant scales and zero pad-tables must reproduce the
+    single-device scores exactly (pm1 data dequantizes bit-exactly)."""
+    cfg = dataclasses.replace(C.micro_test(batch_size=32), table_dtype="int8")
+    tables = ref.init_tables(cfg, scheme="pm1")
+    model, params = init_model(cfg, tables_np=tables, mlp_scheme="ones")
+    idx, dense = make_inputs(cfg, 32)
+    dense = np.ones_like(dense)
+    single = np.asarray(jax.jit(model.forward)(
+        params, jnp.asarray(idx), jnp.asarray(dense)))
+
+    mesh = make_mesh(data=data, model=model_ax)
+    sh = ShardedFleetRec(model, mesh)
+    sp = sh.shard_params(params)
+    si, sd = sh.shard_batch(jnp.asarray(idx), jnp.asarray(dense))
+    out = np.asarray(sh.forward(sp, si, sd))
+    np.testing.assert_array_equal(out, single)
+
+
+def test_partitioned_factored_criteo_matches_single():
+    """criteo geometry capped into the one-hot/factored tiers (one plain
+    n=10 class + one factored n=16 class), partitioned over model=4:
+    sharded scores equal the single-device forward.  fp32 here — the CPU
+    backend cannot execute bf16 dots (tests/test_ops.py notes the same);
+    the bf16-storage serving default is covered on-chip by the
+    STORAGE_PARITY artifact."""
+    cfg = C.criteo_terabyte(batch_size=32, dtype="float32")
+    cfg = dataclasses.replace(
+        cfg,
+        tables=tuple(dataclasses.replace(t, rows=min(t.rows, 20265))
+                     for t in cfg.tables),
+    )
+    tables = ref.init_tables(cfg, scheme="pm1")
+    model, params = init_model(cfg, tables_np=tables, mlp_scheme="ones")
+    idx, dense = make_inputs(cfg, 32)
+    dense = np.sign(dense) if dense is not None else None
+    single = np.asarray(jax.jit(model.forward)(
+        params, jnp.asarray(idx), jnp.asarray(dense)))
+
+    mesh = make_mesh(data=2, model=4)
+    sh = ShardedFleetRec(model, mesh)
+    sp = sh.shard_params(params)
+    si, sd = sh.shard_batch(jnp.asarray(idx), jnp.asarray(dense))
+    out = np.asarray(sh.forward(sp, si, sd))
+    np.testing.assert_array_equal(out, single)
+
+
+def test_train_after_shard_params_with_padded_onehot():
+    """The GSPMD training path shares shard_params' padded one-hot buffers
+    (lookup_concat pads index columns); the step must run and refresh the
+    fold, and a subsequent sharded serve must work."""
+    cfg = C.micro_test(batch_size=32)
+    model, params = init_model(cfg, table_scheme="uniform", mlp_scheme="uniform")
+    idx, dense = make_inputs(cfg, 32)
+    labels = (np.arange(32) % 2).astype(np.float32)
+    mesh = make_mesh(data=2, model=4)
+    sh = ShardedFleetRec(model, mesh)
+    sp = sh.shard_params(params)
+    si, sd = sh.shard_batch(jnp.asarray(idx), jnp.asarray(dense))
+    loss, new_params = sh.train_step(sp, si, sd, jnp.asarray(labels), 0.05)
+    assert np.isfinite(float(loss))
+    out = np.asarray(sh.forward(new_params, si, sd))
+    assert out.shape == (32,) and np.all(np.isfinite(out))
