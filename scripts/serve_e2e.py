@@ -106,7 +106,17 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "artifacts", "SERVE_E2E.json"))
     args = ap.parse_args()
 
+    health = None
+    if args.platform != "cpu":
+        # stamp the artifact with the tunnel window it was captured in
+        # (VERDICT r3 weak #3) — probe BEFORE the serve process takes the chip
+        from fleetrec_tpu.utils.tunnelhealth import probe
+
+        health = probe()
+        print(f"tunnel health: {health}", file=sys.stderr, flush=True)
+
     results = {
+        "tunnel_health": health,
         "rig": {
             "config": args.config, "batch": args.batch,
             "wire_batches": args.batches, "senders": args.senders,
