@@ -389,15 +389,27 @@ def cmd_netbench(args):
 def cmd_export(args):
     """Synthesize (or re-pack) a model and write an npz checkpoint with the
     config fingerprint — the table-loading path the reference lacks (its
-    hosts re-synthesize tables every run, host.cpp:282-718)."""
+    hosts re-synthesize tables every run, host.cpp:282-718).
+
+    --quantize-int8: quantize the (float) table buffers per table with
+    power-of-two scales before saving — the float-train -> int8-serve
+    workflow (training rejects int8 storage, models/train.py).  The
+    checkpoint is fingerprinted for table_dtype="int8" and loads into
+    the int8 config of the same geometry."""
     from . import io as fio
 
-    cfg, _model, params, _ = _build(args)
+    cfg, model, params, _ = _build(args)
+    if getattr(args, "quantize_int8", False):
+        if cfg.table_dtype == "int8":
+            raise SystemExit("--quantize-int8: config already stores int8 "
+                             "(build with --dtype float32/bfloat16)")
+        params = fio.quantize_tables(params, model)
+        cfg = dataclasses.replace(cfg, table_dtype="int8")
     fio.save_npz(args.out, params, cfg=cfg)
     import os
 
     print(json.dumps({"path": args.out, "bytes": os.path.getsize(args.out),
-                      "config": cfg.name,
+                      "config": cfg.name, "table_dtype": cfg.table_dtype,
                       "fingerprint": fio.config_fingerprint(cfg)[:12]}))
 
 
@@ -663,6 +675,9 @@ def main(argv=None):
     s = sub.add_parser("export", parents=[common],
                        help="write an npz checkpoint (+config fingerprint)")
     s.add_argument("--out", required=True)
+    s.add_argument("--quantize-int8", action="store_true",
+                   help="per-table pow2 quantization of the float table "
+                   "buffers (float-train -> int8-serve workflow)")
     s.set_defaults(fn=cmd_export)
 
     s = sub.add_parser("autotune", parents=[common],

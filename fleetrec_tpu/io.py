@@ -63,6 +63,71 @@ class ConfigMismatchError(ValueError):
     pass
 
 
+def quantize_tables(params: dict, model) -> dict:
+    """Float-trained params -> int8 serving params (the workflow the
+    training guard points at: train with float table storage, quantize the
+    SERVING checkpoint — models/train.py::check_trainable).
+
+    Quantizes the packed buffers in place per TABLE (the scale unit
+    pack_tables uses): each one-hot class table along its buffer's axis 0,
+    and each take-group table over its own physical rows of the unified
+    buffer (contiguous or striped — the same placement arithmetic as
+    pack_tables).  Scales are powers of two (embedding.py::_pow2_scale),
+    so pm1 parity data survives bit-exactly.  Layout is independent of
+    table_dtype, so the result serves through
+    ``FleetRecModel.create(dataclasses.replace(cfg, table_dtype="int8"))``
+    unchanged.  MLP/bottom/cross weights are untouched (activations stay
+    the config's float dtype).
+    """
+    import jax.numpy as jnp
+
+    from .models.embedding import PackedTables, _pow2_scale
+
+    layout = model.layout
+    tables = params["tables"]
+    if tables.onehot_scales is not None or (
+        tables.take_buffer is not None and tables.take_buffer.dtype == jnp.int8
+    ):
+        raise ValueError("params are already int8-quantized")
+
+    def q(arr, scale):
+        return np.clip(np.rint(arr / scale), -127, 127).astype(np.int8)
+
+    oh_bufs, oh_scales = [], []
+    for buf in tables.onehot_buffers:
+        b = np.asarray(buf, dtype=np.float32)
+        scales = np.asarray([_pow2_scale(b[j]) for j in range(b.shape[0])],
+                            np.float32)
+        oh_bufs.append(jnp.asarray(q(b, scales.reshape(-1, *([1] * (b.ndim - 1))))))
+        oh_scales.append(jnp.asarray(scales[:, None, None]))
+
+    take = None
+    take_scales = None
+    if tables.take_buffer is not None:
+        tb = np.asarray(tables.take_buffer, dtype=np.float32)
+        out = np.zeros(tb.shape, np.int8)
+        S, H = layout.take_stripes, layout.stripe_height
+        by_id = {t.table_id: t for t in model.cfg.tables}
+        sc = []
+        for g in layout.take_groups:
+            s = g.rows_per_phys
+            for tid, base in zip(g.table_ids, g.base_phys):
+                pr = np.arange(-(-by_id[tid].rows // s))
+                rows = ((pr % S) * H + base + pr // S) if S > 1 else (base + pr)
+                seg = tb[rows]
+                scale = _pow2_scale(seg)
+                out[rows] = q(seg, scale)
+                sc.append(scale)
+        take = jnp.asarray(out)
+        take_scales = jnp.asarray(np.asarray(sc, np.float32))
+
+    new_tables = PackedTables(
+        layout=layout, onehot_buffers=oh_bufs, take_buffer=take,
+        onehot_scales=oh_scales, take_scales=take_scales)
+    return {**{k: v for k, v in params.items() if k != "w1_fold"},
+            "tables": new_tables}
+
+
 def _check_fingerprint(stored: Optional[str], model, path: str) -> None:
     if stored is None or model is None:
         return

@@ -182,3 +182,67 @@ def test_multihost_helpers_single_process():
     g = host_local_batch_to_global(mesh, arr)
     assert g.shape == (16, 3)
     np.testing.assert_array_equal(np.asarray(g), arr)
+
+
+def test_quantize_tables_matches_pack_int8_on_pm1():
+    """quantize_tables(float params) must be BIT-IDENTICAL to packing the
+    same tables directly at table_dtype=int8 (buffers and scales), incl.
+    a striped layout — the float-train -> int8-serve workflow."""
+    from fleetrec_tpu import io as fio
+
+    cfg = dataclasses.replace(C.micro_test(batch_size=8), take_stripes=4,
+                              onehot_max=70)  # mixed onehot/take split
+    tables = ref.init_tables(cfg, scheme="pm1")
+    model_f, params_f = init_model(cfg, tables_np=tables)
+    qp = fio.quantize_tables(params_f, model_f)
+
+    cfg8 = dataclasses.replace(cfg, table_dtype="int8")
+    model_8, params_8 = init_model(cfg8, tables_np=tables)
+    for a, b in zip(qp["tables"].onehot_buffers, params_8["tables"].onehot_buffers):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(qp["tables"].take_buffer),
+                                  np.asarray(params_8["tables"].take_buffer))
+    for a, b in zip(qp["tables"].onehot_scales, params_8["tables"].onehot_scales):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(qp["tables"].take_scales),
+                                  np.asarray(params_8["tables"].take_scales))
+
+
+def test_float_train_then_quantized_serve_roundtrip(tmp_path):
+    """Train on float tables, quantize, save, load into the int8 config,
+    serve: scores bounded by the per-table quantization error."""
+    import jax
+    import jax.numpy as jnp
+
+    from fleetrec_tpu import io as fio
+    from fleetrec_tpu.models import FleetRecModel
+    from fleetrec_tpu.models.train import Trainer
+
+    cfg = C.micro_test(batch_size=32)
+    model, params = init_model(cfg, table_scheme="uniform", mlp_scheme="uniform")
+    rng = np.random.default_rng(0)
+    idx = np.stack([rng.integers(0, t.rows, 32) for t in cfg.tables], 1).astype(np.int32)
+    dense = rng.uniform(-1, 1, (32, cfg.dense_dim)).astype(np.float32)
+    labels = (dense[:, 0] > 0).astype(np.float32)
+    tr = Trainer(model)
+    params, _ = tr.fit(params, [(idx, dense, labels)] * 3)
+
+    float_scores = np.asarray(jax.jit(model.forward)(
+        params, jnp.asarray(idx), jnp.asarray(dense)))
+
+    qp = fio.quantize_tables(params, model)
+    cfg8 = dataclasses.replace(cfg, table_dtype="int8")
+    model8 = FleetRecModel.create(cfg8)
+    path = str(tmp_path / "q.npz")
+    fio.save_npz(path, qp, cfg=cfg8)
+    loaded = fio.load_npz(path, model8)
+    q_scores = np.asarray(jax.jit(model8.forward)(
+        loaded, jnp.asarray(idx), jnp.asarray(dense)))
+    # per-element table error <= scale/2 <= 1/127-ish on unit-scale data;
+    # propagated through the small MLP this stays a small absolute delta
+    assert np.all(np.isfinite(q_scores))
+    np.testing.assert_allclose(q_scores, float_scores, atol=0.35, rtol=0.1)
+
+    # and the fingerprint guards against loading into the FLOAT config
+    with pytest.raises(fio.ConfigMismatchError):
+        fio.load_npz(path, model)
