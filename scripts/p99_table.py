@@ -103,6 +103,20 @@ def run_one(name):
         f"({device_ms:.2f} ms/batch); tunnel rpc {health['rpc_ms']} ms "
         f"h2d {health['h2d_mbps']} MB/s")
 
+    # smaller batch for the latency-optimal production point: per-query
+    # lookup cost is per-index flat (docs/DESIGN.md), so B=1024 keeps the
+    # rate while quartering per-batch service time — what decides the
+    # 20 ms SLA for the slow-batch configs (model3: 15 ms at B=4096).
+    B2 = 1024
+    idx2 = idx[:, :B2]
+    dense2 = None if dense is None else dense[:, :B2]
+    r2 = DeviceBench(step).measure(
+        params, (idx2, dense2) if dense2 is not None else idx2)
+    device_ms_b2 = r2["per_iter_ms"]
+    device_qps_b2 = B2 / (device_ms_b2 / 1e3)
+    log(f"[{name}] device rate @B={B2}: {device_qps_b2/1e6:.2f} M q/s "
+        f"({device_ms_b2:.2f} ms/batch)")
+
     # per-call rate of this rig (fuse=1, device pool): time blocking calls
     fwd = jax.jit(model.forward)
     i0 = idx[0]
@@ -119,28 +133,41 @@ def run_one(name):
 
     out = {"batch": B, "device_qps": round(device_qps, 1),
            "ms_per_batch_device": round(device_ms, 4),
+           "batch_small": B2, "device_qps_small": round(device_qps_b2, 1),
+           "ms_per_batch_device_small": round(device_ms_b2, 4),
            "percall_ms": round(percall_s * 1e3, 2),
            "tunnel_health": health}
 
     # production-p99 bound: measured device ms + stated production
-    # dispatch, through the real engine loop at 80% of the device rate
-    sim = run_servebench(
-        None, None, batch_size=B, offered_qps=0.8 * device_qps,
-        duration_s=8.0, max_wait_ms=2.0,
-        simulate_service_ms=device_ms + PROD_DISPATCH_MS)
-    out["production_sim"] = {
-        **_round_res(sim),
-        "service_model_ms": round(device_ms + PROD_DISPATCH_MS, 3),
-        "basis": "measured device ms (scan+readback) + 0.3 ms stated "
-                 "production dispatch; real engine loop, no tunnel term",
-        "sla_p99_ms": SLA_P99_MS,
-        "meets_sla": bool(sim.latency_ms_p99 <= SLA_P99_MS),
-    }
-    log(f"[{name}] production_sim: offered {0.8*device_qps/1e6:.2f}M "
-        f"achieved {sim.achieved_qps/1e6:.2f}M p50 {sim.latency_ms_p50:.1f} "
-        f"p99 {sim.latency_ms_p99:.1f} ms "
-        f"({'MEETS' if sim.latency_ms_p99 <= SLA_P99_MS else 'MISSES'} "
-        f"{SLA_P99_MS} ms SLA)")
+    # dispatch, through the real engine loop at 80% of the device rate.
+    # Two batch sizes: B=4096 (throughput-shaped) and B=1024 (latency-
+    # shaped); the SLA verdict is the better of the two operating points.
+    basis = ("measured device ms (scan+readback) + 0.3 ms stated "
+             "production dispatch; real engine loop, no tunnel term")
+    for key, bsz, dms, dqps in (
+        ("production_sim", B, device_ms, device_qps),
+        ("production_sim_small_batch", B2, device_ms_b2, device_qps_b2),
+    ):
+        sim = run_servebench(
+            None, None, batch_size=bsz, offered_qps=0.8 * dqps,
+            duration_s=8.0, max_wait_ms=2.0,
+            simulate_service_ms=dms + PROD_DISPATCH_MS)
+        out[key] = {
+            **_round_res(sim),
+            "batch": bsz,
+            "service_model_ms": round(dms + PROD_DISPATCH_MS, 3),
+            "basis": basis,
+            "sla_p99_ms": SLA_P99_MS,
+            "meets_sla": bool(sim.latency_ms_p99 <= SLA_P99_MS),
+        }
+        log(f"[{name}] {key} (B={bsz}): offered {0.8*dqps/1e6:.2f}M "
+            f"achieved {sim.achieved_qps/1e6:.2f}M p50 {sim.latency_ms_p50:.1f} "
+            f"p99 {sim.latency_ms_p99:.1f} ms "
+            f"({'MEETS' if sim.latency_ms_p99 <= SLA_P99_MS else 'MISSES'} "
+            f"{SLA_P99_MS} ms SLA)")
+    out["meets_sla_any"] = bool(
+        out["production_sim"]["meets_sla"]
+        or out["production_sim_small_batch"]["meets_sla"])
 
     for mode, fuse, rate in (("fused", FUSE, device_qps),
                              ("unfused", 1, unfused_qps)):
