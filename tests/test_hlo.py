@@ -270,3 +270,25 @@ def test_onehot_classes_partitioned_over_model_axis():
         assert c.num_tables not in lead, (
             f"full-size class dot (n={c.num_tables}) found — the class is "
             f"being computed replicated, not partitioned", lead)
+
+
+def test_pipelined_forward_bitexact_int8_partitioned():
+    """K-batch pipelined step with int8 tables AND model-axis-partitioned
+    one-hot classes: bit-identical to sequential sharded forwards (the
+    int8 dequant scales ride the scan carry path unchanged)."""
+    import dataclasses as dc
+
+    cfg = dc.replace(C.micro_test(batch_size=32), table_dtype="int8")
+    model, params = init_model(cfg)  # pm1 / ones: int8 pow2 exact
+    mesh = make_mesh(data=2, model=4)
+    sh = ShardedFleetRec(model, mesh)
+    sp = sh.shard_params(params)
+    K, B = 3, 32
+    idx, dense = _pipelined_inputs(cfg, K, B)
+    seq = np.stack([
+        np.asarray(sh.forward(sp, jnp.asarray(idx[k]), jnp.asarray(dense[k])))
+        for k in range(K)
+    ])
+    pip = np.asarray(sh.forward_pipelined(
+        sp, jnp.asarray(idx), jnp.asarray(dense)))
+    assert np.array_equal(seq, pip)
