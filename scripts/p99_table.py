@@ -37,12 +37,18 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# (name, kwargs, row cap, scan length K).  K matches bench.py per config
+# so the device rates here agree with BENCH_r{N} — the r3 artifact used
+# K=8 everywhere, which puts rpc_ms/K (~3-5 ms/batch) of tunnel smear on
+# fast configs and made its rates disagree 3.8x with the bench
+# (VERDICT r3 weak #3; DeviceBench per_iter = scan wall incl. ONE
+# RPC+readback, divided by K).
 CONFIGS = [
-    ("fleetrec_model1", {}, 0),
-    ("tiny_dlrm", {}, 0),
-    ("fleetrec_model2", {}, 2_000_000),
-    ("fleetrec_model3", {}, 1_000_000),
-    ("criteo_terabyte", {}, 4_000_000),
+    ("fleetrec_model1", {}, 0, 64),
+    ("tiny_dlrm", {}, 0, 32),
+    ("fleetrec_model2", {}, 2_000_000, 16),
+    ("fleetrec_model3", {}, 1_000_000, 8),
+    ("criteo_terabyte", {}, 4_000_000, 16),
 ]
 B = 4096
 FUSE = 32
@@ -71,7 +77,7 @@ def run_one(name):
     from fleetrec_tpu.utils.timing import DeviceBench
     from fleetrec_tpu.utils.tunnelhealth import probe
 
-    kw, cap = next((k, c) for n, k, c in CONFIGS if n == name)
+    kw, cap, K = next((k, c, kk) for n, k, c, kk in CONFIGS if n == name)
     cfg = C.get_config(name, batch_size=B, **kw)
     if cap:
         cfg = dataclasses.replace(
@@ -84,7 +90,6 @@ def run_one(name):
 
     # device rate (scan+readback, the only trustworthy method here)
     rng = np.random.default_rng(0)
-    K = 8
     idx = jnp.asarray(np.stack(
         [rng.integers(0, t.rows, (K, B)) for t in cfg.tables], 2).astype(np.int32))
     dense = (jnp.asarray(rng.uniform(-1, 1, (K, B, cfg.dense_dim)).astype(np.float32))
@@ -131,10 +136,14 @@ def run_one(name):
     log(f"[{name}] per-call rate {unfused_qps/1e3:.0f} K q/s "
         f"({percall_s*1e3:.1f} ms/call)")
 
-    out = {"batch": B, "device_qps": round(device_qps, 1),
+    out = {"batch": B, "scan_K": K,
+           "device_qps": round(device_qps, 1),
            "ms_per_batch_device": round(device_ms, 4),
            "batch_small": B2, "device_qps_small": round(device_qps_b2, 1),
            "ms_per_batch_device_small": round(device_ms_b2, 4),
+           # the scan method folds ONE tunnel RPC+readback into the wall
+           # it divides by K; this estimate lets a reader subtract it
+           "rpc_smear_ms_per_batch_est": round(health["rpc_ms"] / K, 2),
            "percall_ms": round(percall_s * 1e3, 2),
            "tunnel_health": health}
 
@@ -191,7 +200,7 @@ def main():
     print(f"tunnel health at start: {health0}", file=sys.stderr, flush=True)
 
     results = {}
-    for name, _kw, _cap in CONFIGS:
+    for name, _kw, _cap, _K in CONFIGS:
         log(f"=== {name} ===")
         try:
             p = subprocess.run(
