@@ -1,0 +1,91 @@
+"""Find each config's best SLA-compliant production operating point.
+
+Reads the measured per-batch device times from artifacts/P99_TABLE.json
+(captured on-chip by scripts/p99_table.py) and sweeps the PRODUCTION
+simulation (real engine loop, virtual device at measured service time +
+0.3 ms dispatch — servebench simulate_service_ms) over batch size x
+offered load, recording the highest throughput whose per-query p99 meets
+the 20 ms SLA.  This is the committed "production p99 <= X ms at Y q/s"
+number VERDICT r3 #5 asked for; it needs no chip (the device ms is the
+only measured input), so it runs after every p99_table capture.
+
+Writes the result back into P99_TABLE.json under
+configs[<name>]["sla_operating_point"].
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/sla_operating_points.py
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SLA_MS = 20.0
+PROD_DISPATCH_MS = 0.3
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from fleetrec_tpu.serving.servebench import run_servebench
+
+    path = os.path.join(REPO, "artifacts", "P99_TABLE.json")
+    with open(path) as f:
+        art = json.load(f)
+
+    for name, rec in art["configs"].items():
+        if "ms_per_batch_device" not in rec:
+            continue
+        # per-query device cost is per-index flat (docs/DESIGN.md): scale
+        # the measured B=4096 and B=1024 points to intermediate batches by
+        # interpolating on the per-batch times actually measured
+        points = {4096: rec["ms_per_batch_device"],
+                  1024: rec["ms_per_batch_device_small"]}
+        # B=2048: linear in B between the two measured points
+        points[2048] = points[1024] + (points[4096] - points[1024]) * (
+            (2048 - 1024) / (4096 - 1024))
+        best = None
+        for bsz, dms in sorted(points.items()):
+            cap = bsz / ((dms + PROD_DISPATCH_MS) / 1e3)  # saturation q/s
+            for frac in (0.9, 0.8, 0.7, 0.6, 0.5):
+                offered = frac * cap
+                sim = run_servebench(
+                    None, None, batch_size=bsz, offered_qps=offered,
+                    duration_s=6.0, max_wait_ms=2.0,
+                    simulate_service_ms=dms + PROD_DISPATCH_MS)
+                ok = sim.latency_ms_p99 <= SLA_MS
+                log(f"[{name}] B={bsz} dms={dms:.2f} offered={offered/1e6:.2f}M "
+                    f"p99={sim.latency_ms_p99:.1f} {'OK' if ok else 'no'}")
+                if ok and (best is None or sim.achieved_qps > best["qps"]):
+                    best = {"qps": round(sim.achieved_qps, 1),
+                            "batch": bsz,
+                            "load_fraction": frac,
+                            "service_model_ms": round(dms + PROD_DISPATCH_MS, 3),
+                            "p50_ms": round(sim.latency_ms_p50, 2),
+                            "p99_ms": round(sim.latency_ms_p99, 2)}
+                if ok:
+                    break  # highest fraction that meets for this batch size
+        rec["sla_operating_point"] = best or {
+            "qps": 0, "note": f"no tested point meets p99<={SLA_MS} ms"}
+        log(f"[{name}] best: {rec['sla_operating_point']}")
+
+    art["sla_operating_point_note"] = (
+        "per config: highest simulated throughput meeting p99 <= 20 ms — "
+        "real engine loop with service = measured device ms (+0.3 ms "
+        "stated dispatch), batch sizes 1024/2048/4096, load fractions "
+        "0.5-0.9 of saturation; device ms values carry the scan method's "
+        "rpc/K tunnel smear (see rpc_smear_ms_per_batch_est), so these "
+        "are conservative")
+    with open(path, "w") as f:
+        json.dump(art, f, indent=2)
+        f.write("\n")
+    print(path)
+
+
+if __name__ == "__main__":
+    main()
