@@ -237,7 +237,27 @@ def _run_simulated(
     """The servebench loop with a virtual device: same Poisson arrivals,
     same batch formation, same bounded in-flight window — service time is
     ``service_ms`` per dispatch and dispatches serialize on one virtual
-    device.  See run_servebench(simulate_service_ms=...)."""
+    device.  See run_servebench(simulate_service_ms=...).
+
+    Time scaling: the Python loop needs ~0.3-0.5 ms per dispatch; at
+    multi-M q/s offered rates the real-time batch interval drops below
+    that and the LOOP (not the modeled system) becomes the bottleneck —
+    the latency tail then measures interpreter drift, not queueing
+    (observed: a 1.44 ms-interval run drifting to a fabricated 200 ms
+    p50).  Queueing dynamics are invariant under scaling every time
+    constant by k, so when the batch interval is tight the whole
+    simulation runs k-x slower (arrivals, service, batching window) and
+    latencies divide by k on report."""
+    interval_s = batch_size * fuse / offered_qps
+    k = max(1, int(np.ceil(0.005 / max(interval_s, 1e-9))))
+    # bound the wall clock (~45 s) while keeping enough dispatches for a
+    # stable p99 (>=300 when the offered rate allows)
+    if duration_s * k > 45.0:
+        duration_s = max(45.0 / k, 300 * interval_s)
+    offered_qps = offered_qps / k
+    service_ms = service_ms * k
+    max_wait_ms = max_wait_ms * k
+    duration_s = duration_s * k
     n_max = int(offered_qps * duration_s * 1.2) + batch_size
     gaps = rng.exponential(1.0 / offered_qps, size=n_max)
     arrivals = np.cumsum(gaps)
@@ -291,12 +311,13 @@ def _run_simulated(
         lat.extend((done - arr) * 1e3)
         services.append((done - td) * 1e3)
     wall = time.time() - t0
-    lat = np.asarray(lat)
-    waits_a = np.asarray(waits[: len(lat)])
-    services_a = np.asarray(services)
+    # un-scale: report in the MODELED system's time units (see docstring)
+    lat = np.asarray(lat) / k
+    waits_a = np.asarray(waits[: len(lat)]) / k
+    services_a = np.asarray(services) / k
     return ServeBenchResult(
-        offered_qps=offered_qps,
-        achieved_qps=len(lat) / wall,
+        offered_qps=offered_qps * k,
+        achieved_qps=len(lat) / wall * k,
         n_queries=len(lat),
         latency_ms_p50=float(np.percentile(lat, 50)),
         latency_ms_p99=float(np.percentile(lat, 99)),

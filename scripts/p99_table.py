@@ -157,10 +157,15 @@ def run_one(name):
         ("production_sim", B, device_ms, device_qps),
         ("production_sim_small_batch", B2, device_ms_b2, device_qps_b2),
     ):
+        # offered = 80 % of the MODELED capacity (device + dispatch) —
+        # basing it on the device-only rate overloads the system when the
+        # 0.3 ms dispatch is comparable to the per-batch device time
+        service = dms + PROD_DISPATCH_MS
         sim = run_servebench(
-            None, None, batch_size=bsz, offered_qps=0.8 * dqps,
+            None, None, batch_size=bsz,
+            offered_qps=0.8 * bsz / (service / 1e3),
             duration_s=8.0, max_wait_ms=2.0,
-            simulate_service_ms=dms + PROD_DISPATCH_MS)
+            simulate_service_ms=service)
         out[key] = {
             **_round_res(sim),
             "batch": bsz,
@@ -169,7 +174,7 @@ def run_one(name):
             "sla_p99_ms": SLA_P99_MS,
             "meets_sla": bool(sim.latency_ms_p99 <= SLA_P99_MS),
         }
-        log(f"[{name}] {key} (B={bsz}): offered {0.8*dqps/1e6:.2f}M "
+        log(f"[{name}] {key} (B={bsz}): offered {sim.offered_qps/1e6:.2f}M "
             f"achieved {sim.achieved_qps/1e6:.2f}M p50 {sim.latency_ms_p50:.1f} "
             f"p99 {sim.latency_ms_p99:.1f} ms "
             f"({'MEETS' if sim.latency_ms_p99 <= SLA_P99_MS else 'MISSES'} "

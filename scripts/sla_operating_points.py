@@ -38,9 +38,43 @@ def main():
     with open(path) as f:
         art = json.load(f)
 
+    def round_res(res):
+        return {k: (round(v, 3) if isinstance(v, float) else v)
+                for k, v in res.to_json().items()}
+
     for name, rec in art["configs"].items():
         if "ms_per_batch_device" not in rec:
             continue
+        # recompute the two fixed production points with the CURRENT
+        # simulator (time-scaled loop, offered based on modeled capacity)
+        # so the artifact is coherent even if configs were captured across
+        # simulator revisions; the measured device ms is the only input
+        basis = ("measured device ms (scan+readback) + 0.3 ms stated "
+                 "production dispatch; real engine loop (time-scaled sim), "
+                 "no tunnel term")
+        for key, bkey, dkey in (
+            ("production_sim", "batch", "ms_per_batch_device"),
+            ("production_sim_small_batch", "batch_small",
+             "ms_per_batch_device_small"),
+        ):
+            bsz, dms = rec.get(bkey), rec.get(dkey)
+            if not bsz or not dms:
+                continue
+            service = dms + PROD_DISPATCH_MS
+            sim = run_servebench(
+                None, None, batch_size=bsz,
+                offered_qps=0.8 * bsz / (service / 1e3),
+                duration_s=6.0, max_wait_ms=2.0,
+                simulate_service_ms=service)
+            rec[key] = {**round_res(sim), "batch": bsz,
+                        "service_model_ms": round(service, 3),
+                        "basis": basis, "sla_p99_ms": SLA_MS,
+                        "meets_sla": bool(sim.latency_ms_p99 <= SLA_MS)}
+            log(f"[{name}] {key} B={bsz}: p99 {sim.latency_ms_p99:.1f} "
+                f"at {sim.offered_qps/1e6:.2f}M")
+        rec["meets_sla_any"] = bool(
+            rec.get("production_sim", {}).get("meets_sla")
+            or rec.get("production_sim_small_batch", {}).get("meets_sla"))
         # per-query device cost is per-index flat (docs/DESIGN.md): scale
         # the measured B=4096 and B=1024 points to intermediate batches by
         # interpolating on the per-batch times actually measured
