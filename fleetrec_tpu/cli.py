@@ -40,6 +40,13 @@ def _make_cfg(args, reduce_rows=None):
         cfg = dataclasses.replace(cfg, onehot_r2=args.onehot_r2)
     if getattr(args, "take_stripes", 0):
         cfg = dataclasses.replace(cfg, take_stripes=args.take_stripes)
+    if getattr(args, "qr_rem", 0):
+        # QR compressed embeddings (config.ModelConfig docstring); applied
+        # AFTER --max-rows so the threshold acts on the capped rows
+        cfg = dataclasses.replace(
+            cfg, qr_threshold=args.qr_threshold or 1_000_000,
+            qr_rem=args.qr_rem)
+        cfg.validate()
     if args.dtype:
         if args.dtype == "int8":
             # int8 quantizes table storage only; the MLP stays fp32
@@ -61,9 +68,13 @@ def _build(args, reduce_rows=None):
         model = FleetRecModel.create(cfg)
         params = fio.load_npz(args.ckpt, model)
         return cfg, model, params, None
-    tables = ref.init_tables(cfg, scheme=args.table_scheme)
-    model, params = init_model(cfg, tables_np=tables, mlp_scheme=args.mlp_scheme)
-    return cfg, model, params, tables
+    # tables_np=None: init_model generates over the model's INTERNAL specs
+    # (for QR configs the giant tables exist only as their small Q/R
+    # decomposition — materializing cfg.tables would build the raw 1B-row
+    # table on the host, ~128 GB)
+    model, params = init_model(cfg, table_scheme=args.table_scheme,
+                               mlp_scheme=args.mlp_scheme)
+    return cfg, model, params, None
 
 
 def cmd_serve(args):
@@ -311,10 +322,10 @@ def cmd_bench(args):
             else None
         )
         if args.stage == "lookup":
-            perm = jnp.asarray(np.asarray(model.index_perm), dtype=jnp.int32)
 
             def step(p, x):
-                i = (x[0] if dense is not None else x)[:, perm]
+                # plan_indices = QR column derivation + spec->plan perm
+                i = model.plan_indices(x[0] if dense is not None else x)
                 d = x[1] if dense is not None else None
                 return lookup_concat(p["tables"], i, d)
         else:
@@ -582,6 +593,12 @@ def main(argv=None):
     common.add_argument("--take-stripes", type=int, default=0,
                         help="striped take layout (balanced row-sharding); "
                         "0 = config default")
+    common.add_argument("--qr-rem", type=int, default=0,
+                        help="QR compressed embeddings: remainder table "
+                        "size (0 = off; emb = Q[id//rem] + R[id%%rem])")
+    common.add_argument("--qr-threshold", type=int, default=0,
+                        help="rows above which tables QR-decompose "
+                        "(default 1M when --qr-rem is set)")
     common.add_argument("--ckpt", default="",
                         help="load params from an npz checkpoint (fingerprint-"
                         "checked) instead of synthesizing")

@@ -148,6 +148,19 @@ class ModelConfig:
     # the low-rank factorization width (0 = full-rank [F, F] weights).
     cross_layers: int = 0
     cross_rank: int = 0
+    # Quotient-remainder compressed embeddings (beyond-reference opt-in;
+    # Shi et al., "Compositional Embeddings Using Complementary
+    # Partitions", KDD'20 — the standard DLRM trick).  Tables with rows >
+    # qr_threshold are decomposed into TWO tables sharing the feature
+    # slot: Q (ceil(rows/qr_rem) rows) indexed by id // qr_rem and R
+    # (qr_rem rows) indexed by id % qr_rem, with emb = Q[q] + R[r].  This
+    # is a DIFFERENT model (a compression, not an exact lookup — the
+    # reference's semantics are exact, so the default is OFF), but it
+    # collapses criteo's 1B-row giant ~8000x, removing the forced model
+    # sharding that caps its data axis (SCALING.md "what closes the
+    # gap").  Both > 0 to enable; see config.qr_expand.
+    qr_threshold: int = 0
+    qr_rem: int = 0
     # MXU matmul precision for the MLP/interaction stages.  None = platform
     # default (TPU feeds the MXU bf16-truncated fp32 operands — bit-exact
     # for the reference parity data by structure, and the serving default);
@@ -196,6 +209,14 @@ class ModelConfig:
         assert self.table_dtype in ("float32", "bfloat16", "int8"), (
             f"table_dtype={self.table_dtype!r} not in float32/bfloat16/int8"
         )
+        assert (self.qr_threshold > 0) == (self.qr_rem > 0), (
+            "qr_threshold and qr_rem enable QR embeddings together"
+        )
+        if self.qr_rem:
+            assert self.qr_rem >= 2
+            assert self.interaction != "dot" or all(
+                t.rows <= self.qr_threshold for t in self.tables
+            ), "QR under dot interaction is untested; keep tables below threshold"
         # Cross-knob checks (they apply to every interaction mode):
         # stale cross_layers/cross_rank must not ride along silently on
         # dot/none configs.
@@ -232,6 +253,45 @@ class ModelConfig:
         if self.dense_dim:
             tail = used[-self.dense_dim :]
             assert not tail.any(), "dense slice overlaps a table"
+
+
+def qr_expand(cfg: ModelConfig):
+    """Expand a QR-enabled config's table list into the INTERNAL specs the
+    packed layout is built over.
+
+    Each table with rows > qr_threshold becomes two specs sharing its
+    feature slot: Q keeps the table_id/out_offset with ceil(rows/qr_rem)
+    rows; R is appended at the end with a fresh id, qr_rem rows, and the
+    SAME out_offset (it is hidden from the feature permutation — its
+    output columns are summed into Q's before the layout gather,
+    models/embedding.py::lookup_concat).
+
+    Returns (internal_tables, qr_positions, sum_pairs) where
+    qr_positions = ((config_column, qr_rem), ...) in R-append order (the
+    forward derives q = id // rem into the original column and appends
+    r = id % rem columns at the tail), and sum_pairs = ((q_table_id,
+    r_table_id), ...).  QR off -> (cfg.tables, (), ()).
+    """
+    if not cfg.qr_rem:
+        return tuple(cfg.tables), (), ()
+    next_id = max(t.table_id for t in cfg.tables) + 1
+    internal: List[TableSpec] = []
+    tail: List[TableSpec] = []
+    qr_positions: List[Tuple[int, int]] = []
+    sum_pairs: List[Tuple[int, int]] = []
+    for pos, t in enumerate(cfg.tables):
+        if t.rows > cfg.qr_threshold:
+            q_rows = -(-t.rows // cfg.qr_rem)
+            internal.append(dataclasses.replace(t, rows=q_rows))
+            r = TableSpec(table_id=next_id, rows=cfg.qr_rem, dim=t.dim,
+                          out_offset=t.out_offset, kind="QR_R", bank=t.bank)
+            tail.append(r)
+            qr_positions.append((pos, cfg.qr_rem))
+            sum_pairs.append((t.table_id, next_id))
+            next_id += 1
+        else:
+            internal.append(t)
+    return tuple(internal + tail), tuple(qr_positions), tuple(sum_pairs)
 
 
 def _tables_from_json(raw: List[dict], offset_shift: int = 0, id_shift: int = 0) -> List[TableSpec]:
@@ -410,7 +470,8 @@ def parity_synthetic(input_width: int = 512, batch_size: int = 32) -> ModelConfi
 def criteo_terabyte(batch_size: int = 1024, dtype: str = "bfloat16",
                     table_dtype: Optional[str] = None,
                     take_stripes: int = 16, onehot_factor_max: int = 24576,
-                    onehot_r2: int = 4) -> ModelConfig:
+                    onehot_r2: int = 4, qr_threshold: int = 0,
+                    qr_rem: int = 0) -> ModelConfig:
     """Terabyte-Criteo-scale config (BASELINE.json config 5): 26 categorical
     tables with the classic Criteo-1TB cardinalities (largest ~192M rows;
     here one table is held at 1B rows to force row+column sharding), dim 32,
@@ -422,7 +483,15 @@ def criteo_terabyte(batch_size: int = 1024, dtype: str = "bfloat16",
     ``dtype`` is the ACTIVATION/MLP dtype (float32/bfloat16 only);
     ``table_dtype`` (default: same as dtype) is the table STORAGE dtype
     and additionally admits "int8" — the r3 factory routed one arg into
-    both, so dtype="int8" silently scored garbage (VERDICT r3 weak #4)."""
+    both, so dtype="int8" silently scored garbage (VERDICT r3 weak #4).
+
+    ``qr_threshold``/``qr_rem`` (both > 0) opt into QR compressed
+    embeddings for the giant tables (ModelConfig docstring): e.g.
+    qr_threshold=1_000_000, qr_rem=131072 collapses the 8 tables above
+    1M rows to Q+R pairs (largest Q = 1e9/131072 = 7630 rows), shrinking
+    the table set below one chip's HBM so the full-cardinality config
+    scales pure-DP instead of forcing n_model >= 4 (SCALING.md).  OFF by
+    default: QR is a compression, not the reference's exact lookup."""
     cardinalities = [
         1_000_000_000, 39_060, 17_295, 7_424, 20_265, 3, 7_122, 1_543, 63,
         130_229_467, 3_067_956, 405_282, 10, 2_209, 11_938, 155, 4, 976,
@@ -444,6 +513,8 @@ def criteo_terabyte(batch_size: int = 1024, dtype: str = "bfloat16",
         take_stripes=take_stripes,
         onehot_factor_max=onehot_factor_max,
         onehot_r2=onehot_r2,
+        qr_threshold=qr_threshold,
+        qr_rem=qr_rem,
     )
     cfg.validate()
     return cfg

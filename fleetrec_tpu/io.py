@@ -44,6 +44,10 @@ def config_fingerprint(cfg) -> str:
         "onehot_max": cfg.onehot_max,
         "take_stripes": cfg.take_stripes,
     }
+    if getattr(cfg, "qr_rem", 0):
+        # QR decomposition changes the packed-buffer set (Q + hidden R
+        # tables); keyed conditionally so pre-QR fingerprints are unchanged
+        blob["qr"] = [cfg.qr_threshold, cfg.qr_rem]
     # Interaction configs (DLRM family) carry an extra tower; keyed
     # conditionally so reference-architecture fingerprints are unchanged.
     if getattr(cfg, "interaction", "none") != "none":

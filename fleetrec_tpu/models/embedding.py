@@ -148,6 +148,11 @@ class PackedLayout:
     dense_dim: int
     # index-matrix column order: column k belongs to table index_table_ids[k]
     index_table_ids: Tuple[int, ...]
+    # QR compressed embeddings (config.qr_expand): (dst_src, src_src, dim)
+    # source-column triples — AFTER the per-table lookups, emb[:, dst:+d]
+    # += emb[:, src:+d] (Q += R) and the src (R) columns are dropped by
+    # the feature permutation (their tables are hidden from it).
+    qr_sum_pairs: Tuple[Tuple[int, int, int], ...] = ()
     # Striped layout: the buffer is take_stripes stripes of stripe_height
     # rows; physical row p of a table at intra-stripe offset base lives at
     # (p % S) * H + base + p // S.  With S a multiple of the mesh "model"
@@ -175,6 +180,7 @@ def build_layout(
     take_stripes: int = 1,
     onehot_factor_max: int = 0,
     onehot_r2: int = 64,
+    sum_pairs: Sequence[Tuple[int, int]] = (),
 ) -> PackedLayout:
     """Plan the two-path (or three-path) packing + the static output-layout
     permutation.
@@ -185,7 +191,14 @@ def build_layout(
 
     onehot_factor_max > 0 adds the factored hi/lo one-hot tier for tables
     with onehot_max < rows <= onehot_factor_max (see OneHotClass).
+
+    sum_pairs: (dst_table_id, src_table_id) pairs for QR compressed
+    embeddings (config.qr_expand): src tables are packed and looked up
+    normally but HIDDEN from the feature permutation; their output
+    columns are summed into dst's (lookup_concat) before the layout
+    gather.
     """
+    hidden = {src for _dst, src in sum_pairs}
     small = [t for t in tables if t.rows <= onehot_max]
     mid = [t for t in tables
            if onehot_max < t.rows <= onehot_factor_max]
@@ -276,11 +289,19 @@ def build_layout(
     zero_src = emb_total + dense_dim
     perm = np.full(feature_dim, zero_src, dtype=np.int64)
     for t in tables:
+        if t.table_id in hidden:
+            continue  # QR remainder tables: summed into Q, not placed
         perm[t.out_offset : t.out_offset + t.dim] = np.arange(
             src_offset[t.table_id], src_offset[t.table_id] + t.dim
         )
     if dense_dim:
         perm[feature_dim - dense_dim :] = np.arange(emb_total, emb_total + dense_dim)
+
+    dim_of = {t.table_id: t.dim for t in tables}
+    qr_sum = tuple(
+        (src_offset[dst], src_offset[src], dim_of[dst])
+        for dst, src in sum_pairs
+    )
 
     index_ids = tuple(
         [tid for c in classes for tid in c.table_ids]
@@ -297,6 +318,7 @@ def build_layout(
         index_table_ids=index_ids,
         take_stripes=S,
         stripe_height=stripe_height,
+        qr_sum_pairs=qr_sum,
     )
 
 
@@ -555,6 +577,7 @@ def lookup_concat(
             kk += ng
 
     emb = jnp.concatenate(parts, axis=1) if parts else jnp.zeros((B, 0))
+    emb = apply_qr_sums(emb, layout)
     if not apply_layout:
         if dense is not None:
             emb = jnp.concatenate([emb, dense.astype(emb.dtype)], axis=1)
@@ -567,6 +590,18 @@ def lookup_concat(
     src = jnp.concatenate(srcs, axis=1)
     perm = jnp.asarray(layout.feature_perm, dtype=jnp.int32)
     return jnp.take(src, perm, axis=1)
+
+
+def apply_qr_sums(emb: jax.Array, layout: PackedLayout) -> jax.Array:
+    """QR compressed embeddings: sum each remainder table's output columns
+    into its quotient table's (emb = Q[q] + R[r]) in the pre-permutation
+    source layout.  Linear, so the sharded forward may apply it to
+    per-shard partials before the psum (sum-then-psum == psum-then-sum).
+    No-op when the layout has no QR pairs."""
+    for dst, src, d in layout.qr_sum_pairs:
+        emb = emb.at[:, dst : dst + d].add(
+            jax.lax.slice_in_dim(emb, src, src + d, axis=1))
+    return emb
 
 
 def index_columns(layout: PackedLayout, spec_table_ids: Sequence[int]) -> np.ndarray:

@@ -38,9 +38,19 @@ class FleetRecModel:
     layout: PackedLayout
     # permutation of index-matrix columns: spec order -> group order
     index_perm: tuple
+    # QR compressed embeddings (config.qr_expand): the INTERNAL table
+    # specs the layout/packing are built over (Q tables in place + hidden
+    # R tables appended), and ((config_column, rem), ...) telling
+    # plan_indices how to derive the Q/R index columns.  Empty = QR off
+    # and spec_tables == cfg.tables.
+    spec_tables: tuple = ()
+    qr_positions: tuple = ()
 
     @classmethod
     def create(cls, cfg: ModelConfig) -> "FleetRecModel":
+        from ..config import qr_expand
+
+        internal, qr_positions, sum_pairs = qr_expand(cfg)
         # NOTE: an isolated [R,64] bf16 take measures 6 ns/row (2x faster
         # than 128-lane), but end-to-end the 64-lane layout is several times
         # SLOWER — sub-128-lane intermediates force vector relayouts in the
@@ -53,22 +63,43 @@ class FleetRecModel:
             # MLP, not the concat.
             emb_dim = cfg.num_tables * cfg.tables[0].dim
             layout = build_layout(
-                cfg.tables, emb_dim, 0,
+                internal, emb_dim, 0,
                 onehot_max=cfg.onehot_max, take_lanes=cfg.take_lanes,
                 take_stripes=cfg.take_stripes,
                 onehot_factor_max=cfg.onehot_factor_max,
                 onehot_r2=cfg.onehot_r2,
+                sum_pairs=sum_pairs,
             )
         else:
             layout = build_layout(
-                cfg.tables, cfg.feature_dim, cfg.dense_dim,
+                internal, cfg.feature_dim, cfg.dense_dim,
                 onehot_max=cfg.onehot_max, take_lanes=cfg.take_lanes,
                 take_stripes=cfg.take_stripes,
                 onehot_factor_max=cfg.onehot_factor_max,
                 onehot_r2=cfg.onehot_r2,
+                sum_pairs=sum_pairs,
             )
-        perm = tuple(int(p) for p in index_columns(layout, [t.table_id for t in cfg.tables]))
-        return cls(cfg=cfg, layout=layout, index_perm=perm)
+        perm = tuple(int(p) for p in index_columns(layout, [t.table_id for t in internal]))
+        return cls(cfg=cfg, layout=layout, index_perm=perm,
+                   spec_tables=tuple(internal), qr_positions=qr_positions)
+
+    def plan_indices(self, indices: jax.Array) -> jax.Array:
+        """Config-order index matrix [B, num_tables] -> plan-order internal
+        matrix: derive QR columns (q = id // rem in place, r = id % rem
+        appended) then apply the spec->plan column permutation.  Shared by
+        the single-device forward and the shard_map local forward."""
+        if self.qr_positions:
+            extras = []
+            updated = indices
+            for pos, rem in self.qr_positions:
+                col = jax.lax.slice_in_dim(indices, pos, pos + 1, axis=1)
+                extras.append(col % rem)  # R column, appended at the tail
+                updated = jax.lax.dynamic_update_slice(
+                    updated, col // rem, (0, pos))  # Q replaces in place
+            indices = jnp.concatenate([updated] + extras, axis=1)
+        if self.index_perm:
+            indices = indices[:, jnp.asarray(self.index_perm, dtype=jnp.int32)]
+        return indices
 
     def forward(
         self,
@@ -93,8 +124,7 @@ class FleetRecModel:
                     f"dense must be [{indices.shape[0]}, {self.cfg.dense_dim}], got "
                     f"{None if dense is None else dense.shape}"
                 )
-        if self.index_perm:
-            indices = indices[:, jnp.asarray(self.index_perm, dtype=jnp.int32)]
+        indices = self.plan_indices(indices)
         if self.cfg.interaction == "dot":
             emb = lookup_concat(params["tables"], indices, None)
             return interaction_head(self.cfg, params, emb, dense)
@@ -156,13 +186,23 @@ def init_model(
     convention (pm1 tables, all-ones weights); pass tables_np/mlp_np to load
     real parameters."""
     model = FleetRecModel.create(cfg)
+    specs = model.spec_tables or tuple(cfg.tables)
     if tables_np is None:
-        tables_np = ref.init_tables(cfg, scheme=table_scheme, seed=seed)
+        # QR configs init over the INTERNAL specs (Q + hidden R tables)
+        tables_np = [ref.init_table(t, scheme=table_scheme, seed=seed)
+                     for t in specs]
+    assert len(tables_np) == len(specs), (
+        f"tables_np has {len(tables_np)} arrays but the model packs "
+        f"{len(specs)} specs"
+        + (" (QR configs pack Q + R tables — pass tables_np=None to "
+           "auto-init, or arrays matching model.spec_tables)"
+           if model.qr_positions else "")
+    )
     if mlp_np is None:
         mlp = init_mlp_params(cfg.mlp, scheme=mlp_scheme, seed=seed, dtype=jnp.dtype(cfg.dtype))
     else:
         mlp = [jnp.asarray(w, dtype=jnp.dtype(cfg.dtype)) for w in mlp_np]
-    packed = pack_tables(tables_np, cfg.tables, model.layout, dtype=jnp.dtype(cfg.table_dtype))
+    packed = pack_tables(tables_np, specs, model.layout, dtype=jnp.dtype(cfg.table_dtype))
     params = {"tables": packed, "mlp": mlp}
     if cfg.bottom_mlp is not None:
         params["bottom"] = init_mlp_params(

@@ -109,11 +109,14 @@ def plan(
     ceil(n/M)-table blocks; MLP weights and the W1 fold replicate.
     """
     B = batch_size or cfg.batch_size
-    layout = build_layout(cfg.tables, cfg.feature_dim, cfg.dense_dim,
+    from ..config import qr_expand
+
+    eff_tables, _qr_pos, sum_pairs = qr_expand(cfg)
+    layout = build_layout(eff_tables, cfg.feature_dim, cfg.dense_dim,
                           onehot_max=cfg.onehot_max, take_lanes=cfg.take_lanes,
                           take_stripes=cfg.take_stripes,
                           onehot_factor_max=cfg.onehot_factor_max,
-                          onehot_r2=cfg.onehot_r2)
+                          onehot_r2=cfg.onehot_r2, sum_pairs=sum_pairs)
     isz = _ITEMSIZE[cfg.table_dtype]
 
     # plain one-hot class buffers are [n, rows_pad, dim]; on TPU the minor
@@ -154,7 +157,7 @@ def plan(
     # gives each table one range per stripe
     S, H = layout.take_stripes, layout.stripe_height
     ranges: List[Tuple[int, List[Tuple[int, int]], int]] = []  # (tid, [(b,e)], rows)
-    by_id = {t.table_id: t for t in cfg.tables}
+    by_id = {t.table_id: t for t in eff_tables}
     for g in layout.take_groups:
         s = g.rows_per_phys
         for tid, base in zip(g.table_ids, g.base_phys):

@@ -186,8 +186,7 @@ class ShardedFleetRec:
         midx = jax.lax.axis_index("model")
         B = indices.shape[0]
 
-        if model.index_perm:
-            indices = indices[:, jnp.asarray(model.index_perm, dtype=jnp.int32)]
+        indices = model.plan_indices(indices)  # QR expansion + plan perm
 
         parts = []
         k = 0
@@ -258,6 +257,11 @@ class ShardedFleetRec:
                 kk += ng
 
         emb = jnp.concatenate(parts, axis=1) if parts else jnp.zeros((B, 0))
+        # QR sums are linear: applying them to this shard's partial emb
+        # before the psum equals applying them after (embedding.py).
+        from ..models.embedding import apply_qr_sums
+
+        emb = apply_qr_sums(emb, layout)
         # one-hot columns are already per-shard partials (each shard filled
         # only its own tables' columns above); only the replicated dense
         # tail needs the shard-0 mask so the psum stays exact.
