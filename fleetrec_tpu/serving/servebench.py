@@ -75,15 +75,15 @@ def run_servebench(
     the right setting; the latency cost of fusing is K*B/offered_qps of
     added queueing.
 
-    simulate_service_ms=X runs the SAME arrival/batching/in-flight-window
-    loop but replaces the device call with a virtual service time of X ms
-    per dispatch (batches serialize on the one virtual device; the pop
-    path sleeps until virtual completion, so the closed-loop dynamics are
-    real).  Pass the DeviceBench-measured per-batch device time (+ the
-    production ~0.3 ms dispatch) to get a production-shaped p99 with the
-    tunnel term excluded — the mechanism behind the production-p99 bound
-    in artifacts/P99_TABLE.json (VERDICT r3 #5).  model/params are unused
-    (may be None) in this mode.
+    simulate_service_ms=X computes the SAME arrival/batching/in-flight-
+    window semantics as an EVENT-DRIVEN recurrence with a virtual service
+    time of X ms per dispatch (batches serialize on the one virtual
+    device) — deterministic, host-noise-free, milliseconds to run (see
+    _run_simulated).  Pass the DeviceBench-measured per-batch device time
+    (+ the production ~0.3 ms dispatch) to get a production-shaped p99
+    with the tunnel term excluded — the mechanism behind the
+    production-p99 bound in artifacts/P99_TABLE.json (VERDICT r3 #5).
+    model/params are unused (may be None) in this mode.
     """
     rng = np.random.default_rng(seed)
     if simulate_service_ms is not None:
@@ -234,98 +234,72 @@ def _run_simulated(
     fuse: int,
     service_ms: float,
 ) -> ServeBenchResult:
-    """The servebench loop with a virtual device: same Poisson arrivals,
-    same batch formation, same bounded in-flight window — service time is
-    ``service_ms`` per dispatch and dispatches serialize on one virtual
-    device.  See run_servebench(simulate_service_ms=...).
-
-    Time scaling: the Python loop needs ~0.3-0.5 ms per dispatch; at
-    multi-M q/s offered rates the real-time batch interval drops below
-    that and the LOOP (not the modeled system) becomes the bottleneck —
-    the latency tail then measures interpreter drift, not queueing
-    (observed: a 1.44 ms-interval run drifting to a fabricated 200 ms
-    p50).  Queueing dynamics are invariant under scaling every time
-    constant by k, so when the batch interval is tight the whole
-    simulation runs k-x slower (arrivals, service, batching window) and
-    latencies divide by k on report."""
-    interval_s = batch_size * fuse / offered_qps
-    k = max(1, int(np.ceil(0.005 / max(interval_s, 1e-9))))
-    # bound the wall clock (~45 s) while keeping enough dispatches for a
-    # stable p99 (>=300 when the offered rate allows)
-    if duration_s * k > 45.0:
-        duration_s = max(45.0 / k, 300 * interval_s)
-    offered_qps = offered_qps / k
-    service_ms = service_ms * k
-    max_wait_ms = max_wait_ms * k
-    duration_s = duration_s * k
+    """EVENT-DRIVEN simulation of the servebench loop with a virtual
+    device: identical semantics — Poisson arrivals, batch formed when
+    `group` queries arrived or max_wait_ms after the first one, one
+    virtual device serializing dispatches at ``service_ms`` each, and the
+    loop thread blocking on the oldest readback once more than
+    ``max_in_flight`` dispatches are outstanding — but computed as a
+    deterministic recurrence over the arrival timeline instead of a
+    real-time loop.  (An earlier real-time implementation measured the
+    HOST's scheduling hiccups into the tail: one GC-length stall during a
+    45 s run polluted p99 by 70 ms.  The event-driven form is exact,
+    noise-free, and runs in milliseconds.)
+    See run_servebench(simulate_service_ms=...).
+    """
     n_max = int(offered_qps * duration_s * 1.2) + batch_size
     gaps = rng.exponential(1.0 / offered_qps, size=n_max)
     arrivals = np.cumsum(gaps)
     arrivals = arrivals[arrivals < duration_s]
-
+    n = len(arrivals)
     group = batch_size * fuse
-    lat, fills, waits, services = [], [], [], []
-    in_flight = []  # (virtual_completion, member_arrivals, dispatch_time)
-    last_comp = 0.0
-    t0 = time.time()
+    max_wait = max_wait_ms / 1e3
+    service = service_ms * fuse / 1e3
+
+    lat = np.empty(n)
+    waits = np.empty(n)
+    fills = []
+    services = []
+    comps: list = []   # completion time per dispatch
+    t_disps: list = []
+    loop_free = 0.0    # when the loop thread can start forming the next batch
     qi = 0
-    wall_cap = duration_s * 10
-    while qi < len(arrivals):
-        if time.time() - t0 > wall_cap:
-            arrivals = arrivals[:qi]
-            break
-        now = time.time() - t0
-        if arrivals[qi] > now:
-            time.sleep(min(arrivals[qi] - now, 0.001))
-            continue
-        deadline = arrivals[qi] + max_wait_ms / 1e3
-        end = qi
-        while True:
-            now = time.time() - t0
-            arrived = np.searchsorted(arrivals, now)
-            end = min(arrived, qi + group)
-            if end - qi >= group or now >= deadline:
-                break
-            time.sleep(0.0002)
-        count = max(end - qi, 1)
-        t_disp = time.time() - t0
-        waits.extend((t_disp - arrivals[qi:qi + count]) * 1e3)
-        comp = max(t_disp, last_comp) + service_ms * fuse / 1e3
-        last_comp = comp
-        in_flight.append((comp, arrivals[qi:qi + count].copy(), t_disp))
+    while qi < n:
+        first = arrivals[qi]
+        start = max(loop_free, first)       # loop waits for the first query
+        deadline = first + max_wait         # from the FIRST query\'s ARRIVAL
+        # batch closes when `group` queries have arrived or at the
+        # deadline, never before the loop thread is free
+        full_at = arrivals[qi + group - 1] if qi + group - 1 < n else np.inf
+        t_disp = max(start, min(full_at, deadline))
+        count = int(np.searchsorted(arrivals, t_disp, side="right")) - qi
+        count = max(1, min(count, group))
+        d = len(comps)
+        comp = max(t_disp, comps[-1] if comps else 0.0) + service
+        comps.append(comp)
+        t_disps.append(t_disp)
+        lat[qi:qi + count] = (comp - arrivals[qi:qi + count]) * 1e3
+        waits[qi:qi + count] = (t_disp - arrivals[qi:qi + count]) * 1e3
         fills.append(count / group)
+        services.append((comp - t_disp) * 1e3)
+        # after dispatching, the loop pops until <= max_in_flight are
+        # outstanding: it blocks on the (d - max_in_flight)-th completion
+        loop_free = (max(t_disp, comps[d - max_in_flight])
+                     if d >= max_in_flight else t_disp)
         qi += count
-        while len(in_flight) > max_in_flight:
-            c, arr, td = in_flight.pop(0)
-            now = time.time() - t0
-            if c > now:
-                time.sleep(c - now)  # virtual completion blocks like a readback
-            done = max(time.time() - t0, c)
-            lat.extend((done - arr) * 1e3)
-            services.append((done - td) * 1e3)
-    for c, arr, td in in_flight:
-        now = time.time() - t0
-        if c > now:
-            time.sleep(c - now)
-        done = max(time.time() - t0, c)
-        lat.extend((done - arr) * 1e3)
-        services.append((done - td) * 1e3)
-    wall = time.time() - t0
-    # un-scale: report in the MODELED system's time units (see docstring)
-    lat = np.asarray(lat) / k
-    waits_a = np.asarray(waits[: len(lat)]) / k
-    services_a = np.asarray(services) / k
+    wall = max(comps[-1], arrivals[-1]) if comps else duration_s
+    services_a = np.asarray(services)
     return ServeBenchResult(
-        offered_qps=offered_qps * k,
-        achieved_qps=len(lat) / wall * k,
-        n_queries=len(lat),
+        offered_qps=offered_qps,
+        achieved_qps=n / wall,
+        n_queries=n,
         latency_ms_p50=float(np.percentile(lat, 50)),
         latency_ms_p99=float(np.percentile(lat, 99)),
         latency_ms_max=float(lat.max()),
         mean_batch_fill=float(np.mean(fills)),
-        wait_ms_p50=float(np.percentile(waits_a, 50)) if len(waits_a) else 0.0,
-        wait_ms_p99=float(np.percentile(waits_a, 99)) if len(waits_a) else 0.0,
-        service_ms_p50=float(np.percentile(services_a, 50)) if len(services_a) else 0.0,
-        service_ms_p99=float(np.percentile(services_a, 99)) if len(services_a) else 0.0,
+        wait_ms_p50=float(np.percentile(waits, 50)),
+        wait_ms_p99=float(np.percentile(waits, 99)),
+        service_ms_p50=float(np.percentile(services_a, 50)),
+        service_ms_p99=float(np.percentile(services_a, 99)),
         n_dispatches=len(services_a),
     )
