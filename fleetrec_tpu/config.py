@@ -214,9 +214,6 @@ class ModelConfig:
         )
         if self.qr_rem:
             assert self.qr_rem >= 2
-            assert self.interaction != "dot" or all(
-                t.rows <= self.qr_threshold for t in self.tables
-            ), "QR under dot interaction is untested; keep tables below threshold"
         # Cross-knob checks (they apply to every interaction mode):
         # stale cross_layers/cross_rank must not ride along silently on
         # dot/none configs.

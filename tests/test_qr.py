@@ -153,3 +153,76 @@ def test_qr_checkpoint_roundtrip(tmp_path):
     a = np.asarray(jax.jit(model.forward)(params, jnp.asarray(idx), jnp.asarray(dense)))
     b = np.asarray(jax.jit(model.forward)(loaded, jnp.asarray(idx), jnp.asarray(dense)))
     np.testing.assert_array_equal(a, b)
+
+
+def test_qr_dot_interaction_matches_materialized():
+    """QR under the DLRM dot-interaction head: the emb path applies the
+    Q+R sums before the offset-order gather the head consumes, so the QR
+    model must equal the plain model on materialized sum tables."""
+    base = C.micro_dlrm(batch_size=16)
+    cfg = dataclasses.replace(base, qr_threshold=70, qr_rem=8)
+    cfg.validate()
+    model, params = init_model(cfg, table_scheme="pm1", mlp_scheme="ones")
+    tables_np = [ref.init_table(t, scheme="pm1") for t in model.spec_tables]
+    plain_cfg, full_tables = materialized_equivalent(cfg, model, tables_np)
+    pmodel, pparams = init_model(plain_cfg, tables_np=full_tables,
+                                 mlp_scheme="ones")
+    rng = np.random.default_rng(5)
+    B = cfg.batch_size
+    idx = np.stack([rng.integers(0, t.rows, B) for t in cfg.tables], 1).astype(np.int32)
+    dense = np.sign(rng.uniform(-1, 1, (B, cfg.dense_dim))).astype(np.float32)
+    a = np.asarray(jax.jit(model.forward)(params, jnp.asarray(idx), jnp.asarray(dense)))
+    b = np.asarray(jax.jit(pmodel.forward)(pparams, jnp.asarray(idx), jnp.asarray(dense)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_qr_serving_engine_end_to_end():
+    """QR config through the real TCP serving tier (3-sender index mode):
+    the wire carries CONFIG-order indices (the QR expansion is internal to
+    the forward); engine scores must equal the jitted QR forward."""
+    import socket
+    import threading
+
+    import fleetrec_tpu as fr
+    from fleetrec_tpu.serving import IndexWireFormat, IngestServer, ServingEngine
+
+    PORT = 17690
+    cfg = qr_cfg(B=8, rem=16, threshold=100)
+    B, NB = 8, 4
+    model, params = init_model(cfg, table_scheme="pm1", mlp_scheme="ones")
+    eng = ServingEngine.from_model(model, params, batch_size=B)
+    wire = IndexWireFormat.plan(cfg, B, 3)
+
+    rng = np.random.default_rng(6)
+    batches = []
+    for _ in range(NB):
+        idx = np.stack([rng.integers(0, t.rows, B) for t in cfg.tables], 1).astype(np.int32)
+        dense = np.sign(rng.uniform(-1, 1, (B, cfg.dense_dim))).astype(np.float32)
+        batches.append((idx, dense))
+    streams = [b"" for _ in range(3)]
+    for idx, dense in batches:
+        for s, p in enumerate(wire.payloads(idx, dense)):
+            streams[s] += p
+
+    outs = {}
+    with IngestServer(wire.bytes_per_sender(), n_slots=4, port_base=PORT) as ing:
+        def send(s):
+            sock = socket.create_connection(("127.0.0.1", PORT + s), timeout=5)
+            sock.sendall(streams[s])
+            sock.close()
+
+        ths = [threading.Thread(target=send, args=(s,), daemon=True) for s in range(3)]
+        for t in ths:
+            t.start()
+        summary = eng.run_from_ingest(
+            ing, NB, mode="index", wire=wire,
+            row_limits=[t.rows for t in cfg.tables],
+            on_done=lambda bid, sc: outs.__setitem__(bid, sc),
+        )
+        for t in ths:
+            t.join(5)
+    assert summary["batches"] == NB
+    for b, (idx, dense) in enumerate(batches):
+        want = np.asarray(jax.jit(model.forward)(
+            params, jnp.asarray(idx), jnp.asarray(dense)))
+        np.testing.assert_array_equal(outs[b], want)
