@@ -47,6 +47,10 @@ def _make_cfg(args, reduce_rows=None):
             cfg, qr_threshold=args.qr_threshold or 1_000_000,
             qr_rem=args.qr_rem)
         cfg.validate()
+    elif getattr(args, "qr_threshold", 0):
+        # the gate is qr_rem; a lone threshold would silently build the
+        # exact (uncompressed) model (ADVICE r4)
+        raise SystemExit("--qr-threshold requires --qr-rem > 0")
     if args.dtype:
         if args.dtype == "int8":
             # int8 quantizes table storage only; the MLP stays fp32
@@ -96,8 +100,13 @@ def cmd_serve(args):
     tier owns --batch LOCAL rows of the D*... global batch and replies its
     own rows' scores (the reference's multi-node run_cuda_server.sh order:
     server + per-node senders, each node owning a byte range,
-    constant.h:25-27)."""
-    from .serving import IndexWireFormat, IngestServer, ScatterEgress, ServingEngine
+    constant.h:25-27).  --fuse K works in BOTH modes (multiprocess fused
+    dispatch goes through the pipelined collective step); --peer-timeout
+    bounds the multiprocess lockstep wait (serving/engine.PeerWatchdog).
+
+    The assembly itself is library code: serving/compose.py (ServeSpec +
+    serve()); this command only parses flags."""
+    from .serving.compose import ServeSpec, serve
 
     multiproc = args.procs > 1
     if multiproc:
@@ -110,56 +119,17 @@ def cmd_serve(args):
         jax.distributed.initialize(args.coordinator, num_processes=args.procs,
                                    process_id=args.proc_id)
     cfg, model, params, _ = _build(args)
-    if args.mesh:
-        from .parallel import ShardedFleetRec
-        from .parallel.multihost import global_mesh
-
-        D, M = (int(x) for x in args.mesh.split(","))
-        mesh = global_mesh(data=D, model=M)
-        sh = ShardedFleetRec(model, mesh)
-        sparams = sh.shard_params(params)
-        eng = ServingEngine.from_sharded(sh, sparams, batch_size=args.batch,
-                                         background_drain=args.bg_drain,
-                                         fuse=args.fuse,
-                                         multiprocess=multiproc)
-    else:
-        eng = ServingEngine.from_model(model, params, batch_size=args.batch,
-                                       background_drain=args.bg_drain,
-                                       fuse=args.fuse)
-    if args.warm:
-        t0 = time.time()
-        eng.warmup()
-        print(f"warmup compile: {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
-    B = args.batch
-    wire = None
-    if args.senders > 1:
-        wire = IndexWireFormat.plan(cfg, B, args.senders)
-        nbytes = wire.bytes_per_sender()
-    else:
-        nbytes = [B * (cfg.num_tables + cfg.dense_dim) * 4]
-    scatter = None
-    if args.scatter:
-        scatter = ScatterEgress(queue_blocks=args.slots)
-        for dest in args.scatter.split(","):
-            host, _, port = dest.partition(":")
-            scatter.connect(host, int(port))
-    with IngestServer(nbytes, n_slots=args.slots, port_base=args.port) as ing:
-        print(f"serving {cfg.name} B={B} on ports {args.port}"
-              f"..{args.port + len(nbytes) - 1} ({nbytes} B/batch)", flush=True)
-        summary = eng.run_from_ingest(
-            ing, args.batches, mode="index", wire=wire,
-            row_limits=[t.rows for t in cfg.tables],
-            reply_to=0 if args.reply else None,
-            scatter=scatter,
-        )
-        eng.close()
-        # per-sender rx counters (the hardware packet-counter analog,
-        # network_stack.sv:1049-1100) — spot the slow/flapping sender
-        summary["per_sender"] = ing.sender_stats()
-        if scatter is not None:
-            summary["scatter"] = scatter.stats()
-            scatter.close()
-        print(json.dumps(summary))
+    spec = ServeSpec(
+        batch=args.batch, batches=args.batches, port=args.port,
+        slots=args.slots, senders=args.senders,
+        mesh=(tuple(int(x) for x in args.mesh.split(","))
+              if args.mesh else None),
+        multiprocess=multiproc, fuse=args.fuse, bg_drain=args.bg_drain,
+        reply=args.reply,
+        scatter=tuple(args.scatter.split(",")) if args.scatter else (),
+        warm=args.warm, peer_timeout_s=args.peer_timeout or None,
+    )
+    print(json.dumps(serve(cfg, model, params, spec)))
 
 
 def cmd_loadgen(args):
@@ -640,6 +610,12 @@ def main(argv=None):
     s.add_argument("--proc-id", type=int, default=0)
     s.add_argument("--coordinator", default="localhost:29500",
                    help="jax.distributed coordinator address (--procs > 1)")
+    s.add_argument("--peer-timeout", type=float, default=0,
+                   help="multiprocess lockstep watchdog: abort this "
+                   "process (exit 124) with a diagnostic if a collective "
+                   "dispatch/readback stalls past this many seconds — a "
+                   "dead peer otherwise hangs every process forever "
+                   "(0 = no bound)")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("loadgen", parents=[common])

@@ -111,7 +111,11 @@ def quantize_tables(params: dict, model) -> dict:
         tb = np.asarray(tables.take_buffer, dtype=np.float32)
         out = np.zeros(tb.shape, np.int8)
         S, H = layout.take_stripes, layout.stripe_height
-        by_id = {t.table_id: t for t in model.cfg.tables}
+        # QR configs pack over the INTERNAL specs (Q tables with their
+        # post-decomposition row counts + hidden R tables whose ids are
+        # absent from cfg.tables) — keying on cfg.tables would KeyError on
+        # the R ids and mis-size the Q segments (ADVICE r4).
+        by_id = {t.table_id: t for t in (model.spec_tables or model.cfg.tables)}
         sc = []
         for g in layout.take_groups:
             s = g.rows_per_phys

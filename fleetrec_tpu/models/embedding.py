@@ -148,6 +148,10 @@ class PackedLayout:
     dense_dim: int
     # index-matrix column order: column k belongs to table index_table_ids[k]
     index_table_ids: Tuple[int, ...]
+    # logical row count per take COLUMN (plan order) — the fail-loud range
+    # check both forwards apply: a take id outside [0, rows) poisons its
+    # batch row's score with NaN instead of silently reading a wrong row
+    take_rows: Tuple[int, ...] = ()
     # QR compressed embeddings (config.qr_expand): (dst_src, src_src, dim)
     # source-column triples — AFTER the per-table lookups, emb[:, dst:+d]
     # += emb[:, src:+d] (Q += R) and the src (R) columns are dropped by
@@ -307,6 +311,8 @@ def build_layout(
         [tid for c in classes for tid in c.table_ids]
         + [tid for g in groups for tid in g.table_ids]
     )
+    rows_of = {t.table_id: t.rows for t in tables}
+    take_rows = tuple(rows_of[tid] for g in groups for tid in g.table_ids)
     return PackedLayout(
         onehot_classes=classes,
         take_groups=tuple(groups),
@@ -316,6 +322,7 @@ def build_layout(
         feature_dim=feature_dim,
         dense_dim=dense_dim,
         index_table_ids=index_ids,
+        take_rows=take_rows,
         take_stripes=S,
         stripe_height=stripe_height,
         qr_sum_pairs=qr_sum,
@@ -465,6 +472,18 @@ def take_phys_sub(layout: PackedLayout, tidx: jax.Array):
     return phys, sub
 
 
+def take_bad_rows(layout: PackedLayout, tidx: jax.Array) -> jax.Array:
+    """[B] bool: batch rows with ANY take-tier id outside its table's
+    logical [0, rows) range.  Shared fail-loud contract of the single and
+    sharded forwards: such rows' scores are poisoned with NaN (a bare
+    jnp.take would NaN-fill only ids past the whole buffer and silently
+    wrap/misread everything else — VERDICT r4 #6)."""
+    lim = jnp.asarray(
+        np.minimum(np.asarray(layout.take_rows, np.int64),
+                   np.iinfo(np.int32).max).astype(np.int32))
+    return jnp.any((tidx < 0) | (tidx >= lim[None, :]), axis=1)
+
+
 def _onehot_lookup(
     buf: jax.Array, c: OneHotClass, idx: jax.Array,
     scale: Optional[jax.Array] = None,
@@ -524,14 +543,17 @@ def lookup_concat(
     apply_layout, else the raw plan-order concat (+ dense tail) for
     psum-mode where the layout permutation is folded into W1.
 
-    Out-of-range row ids: one-hot path yields zeros; take path follows
-    jnp.take's fill semantics (NaN) — bad indices surface in scores.
+    Out-of-range row ids: one-hot path yields zeros; take-tier ids outside
+    their table's logical [0, rows) range poison the batch row with NaN
+    (take_bad_rows) — bad indices surface in scores on every forward (the
+    sharded path implements the same contract, parallel/sharded.py).
     """
     layout = packed.layout
     B = indices.shape[0]
     quant = packed.onehot_scales is not None
     parts = []
     k = 0
+    bad_take = None
     for i, (c, buf) in enumerate(zip(layout.onehot_classes, packed.onehot_buffers)):
         gi = jax.lax.slice_in_dim(indices, k, k + c.num_tables, axis=1)
         sc = packed.onehot_scales[i] if quant else None
@@ -554,6 +576,7 @@ def lookup_concat(
         n_take = layout.n_take
         tidx = jax.lax.slice_in_dim(indices, k, k + n_take, axis=1)  # [B, n_take]
         phys, sub = take_phys_sub(layout, tidx)
+        bad_take = take_bad_rows(layout, tidx)
         rows = jnp.take(packed.take_buffer, phys.reshape(-1), axis=0)
         rows = rows.reshape(B, n_take, layout.take_lanes)
         tq = packed.take_buffer.dtype == jnp.int8
@@ -577,6 +600,8 @@ def lookup_concat(
             kk += ng
 
     emb = jnp.concatenate(parts, axis=1) if parts else jnp.zeros((B, 0))
+    if bad_take is not None:
+        emb = jnp.where(bad_take[:, None], jnp.asarray(jnp.nan, emb.dtype), emb)
     emb = apply_qr_sums(emb, layout)
     if not apply_layout:
         if dense is not None:

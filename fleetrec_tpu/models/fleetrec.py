@@ -110,9 +110,12 @@ class FleetRecModel:
         """indices: [B, num_tables] in config table order; dense:
         [B, dense_dim].  Returns scores [B].
 
-        Out-of-range row ids follow jnp.take's fill semantics (NaN), so bad
-        indices surface in scores rather than silently reading a wrong row;
-        the serving tier validates indices host-side (serving/engine.py).
+        Out-of-range take-tier row ids (positive overflow AND negative)
+        poison their batch row's score with NaN, so bad indices surface
+        rather than silently reading a wrong row — the sharded forward
+        implements the identical contract (parallel/sharded.py; VERDICT r4
+        #6).  The serving tier additionally validates indices host-side
+        (serving/engine.py).
         """
         if indices.ndim != 2 or indices.shape[1] != self.cfg.num_tables:
             raise ValueError(

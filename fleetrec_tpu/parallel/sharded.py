@@ -222,12 +222,20 @@ class ShardedFleetRec:
                 full, out_loc, (0, midx * n_loc * d))
             parts.append(jax.lax.slice_in_dim(full, 0, n * d, axis=1))
 
+        bad_take = None
         if layout.take_groups:
-            from ..models.embedding import take_phys_sub
+            from ..models.embedding import take_bad_rows, take_phys_sub
 
             n_take = layout.n_take
             tidx = jax.lax.slice_in_dim(indices, k, k + n_take, axis=1)
             phys, sub = take_phys_sub(layout, tidx)
+            # Out-of-range ids must surface exactly like the single-device
+            # forward (NaN scores, take_bad_rows docstring): the clip+mask
+            # below would otherwise contribute silent zeros —
+            # wrong-but-plausible scores — whenever host validation is
+            # bypassed (VERDICT r4 #6).  Each shard poisons its own
+            # partial; NaN survives the psum.
+            bad_take = take_bad_rows(layout, tidx)
 
             take_local = params["tables"].take_buffer  # [rows_local, lanes]
             rows_local = take_local.shape[0]
@@ -257,6 +265,9 @@ class ShardedFleetRec:
                 kk += ng
 
         emb = jnp.concatenate(parts, axis=1) if parts else jnp.zeros((B, 0))
+        if bad_take is not None:
+            emb = jnp.where(bad_take[:, None],
+                            jnp.asarray(jnp.nan, emb.dtype), emb)
         # QR sums are linear: applying them to this shard's partial emb
         # before the psum equals applying them after (embedding.py).
         from ..models.embedding import apply_qr_sums

@@ -259,9 +259,9 @@ def _run_simulated(
     lat = np.empty(n)
     waits = np.empty(n)
     fills = []
-    services = []
-    comps: list = []   # completion time per dispatch
+    comps: list = []   # device completion time per dispatch
     t_disps: list = []
+    firsts: list = []  # first query index per dispatch
     loop_free = 0.0    # when the loop thread can start forming the next batch
     qi = 0
     while qi < n:
@@ -278,15 +278,30 @@ def _run_simulated(
         comp = max(t_disp, comps[-1] if comps else 0.0) + service
         comps.append(comp)
         t_disps.append(t_disp)
-        lat[qi:qi + count] = (comp - arrivals[qi:qi + count]) * 1e3
-        waits[qi:qi + count] = (t_disp - arrivals[qi:qi + count]) * 1e3
+        firsts.append(qi)
         fills.append(count / group)
-        services.append((comp - t_disp) * 1e3)
         # after dispatching, the loop pops until <= max_in_flight are
         # outstanding: it blocks on the (d - max_in_flight)-th completion
         loop_free = (max(t_disp, comps[d - max_in_flight])
                      if d >= max_in_flight else t_disp)
         qi += count
+    # Latency is observed at the POP, exactly like the real loop: dispatch
+    # d's readback is drained right after dispatch d+max_in_flight is
+    # submitted (so its observed done time is max(completion, that later
+    # dispatch's submit)); the final max_in_flight dispatches drain
+    # sequentially after the loop (completions are monotone, so each pops
+    # at its own completion).  The earlier form stamped latency at device
+    # completion, understating tails whenever dispatches queue (ADVICE r4).
+    D = len(comps)
+    services = []
+    for d in range(D):
+        done = (max(comps[d], t_disps[d + max_in_flight])
+                if d + max_in_flight < D else max(comps[d], t_disps[-1]))
+        q0 = firsts[d]
+        q1 = firsts[d + 1] if d + 1 < D else n
+        lat[q0:q1] = (done - arrivals[q0:q1]) * 1e3
+        waits[q0:q1] = (t_disps[d] - arrivals[q0:q1]) * 1e3
+        services.append((done - t_disps[d]) * 1e3)
     wall = max(comps[-1], arrivals[-1]) if comps else duration_s
     services_a = np.asarray(services)
     return ServeBenchResult(

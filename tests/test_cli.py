@@ -75,3 +75,10 @@ def test_cli_icibench(capsys):
     assert r["model_axis"] == 4
     for name in ("all_gather", "psum", "ppermute"):
         assert r[name]["GB_s"] > 0
+
+
+def test_cli_qr_threshold_without_rem_rejected():
+    """--qr-threshold alone would silently build the exact model (the gate
+    is --qr-rem); it must fail loudly instead (ADVICE r4)."""
+    with pytest.raises(SystemExit):
+        main(["bench", *COMMON, "--iters", "1", "--qr-threshold", "100"])

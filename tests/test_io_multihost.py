@@ -246,3 +246,27 @@ def test_float_train_then_quantized_serve_roundtrip(tmp_path):
     # and the fingerprint guards against loading into the FLOAT config
     with pytest.raises(fio.ConfigMismatchError):
         fio.load_npz(path, model)
+
+
+def test_quantize_tables_qr_config():
+    """quantize_tables on a QR config must key segments off the INTERNAL
+    spec tables (Q tables carry post-decomposition row counts; hidden R
+    table ids are absent from cfg.tables — ADVICE r4: KeyError + wrong
+    segment sizes when keyed off cfg.tables).  Mirror of
+    test_quantize_tables_matches_pack_int8_on_pm1."""
+    from fleetrec_tpu import io as fio
+
+    # onehot_max=8 forces every internal table (incl. Q rows ~7-8 and
+    # R rows 16) into the unified take buffer
+    cfg = dataclasses.replace(C.micro_test(batch_size=8), onehot_max=8,
+                              qr_threshold=100, qr_rem=16)
+    cfg.validate()
+    model_f, params_f = init_model(cfg)  # pm1 over the internal specs
+    qp = fio.quantize_tables(params_f, model_f)
+
+    cfg8 = dataclasses.replace(cfg, table_dtype="int8")
+    model_8, params_8 = init_model(cfg8)
+    np.testing.assert_array_equal(np.asarray(qp["tables"].take_buffer),
+                                  np.asarray(params_8["tables"].take_buffer))
+    np.testing.assert_array_equal(np.asarray(qp["tables"].take_scales),
+                                  np.asarray(params_8["tables"].take_scales))

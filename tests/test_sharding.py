@@ -176,3 +176,30 @@ def test_train_after_shard_params_with_padded_onehot():
     assert np.isfinite(float(loss))
     out = np.asarray(sh.forward(new_params, si, sd))
     assert out.shape == (32,) and np.all(np.isfinite(out))
+
+
+@pytest.mark.parametrize("table_dtype", ["float32", "int8"])
+def test_bad_index_nan_on_both_forwards(table_dtype):
+    """Out-of-buffer row ids must surface as NaN scores on the SHARDED
+    forward exactly like the single-device one (jnp.take fill semantics,
+    models/fleetrec.py docstring) — not silent zero contributions
+    (VERDICT r4 #6).  Valid rows of the same batch stay exact."""
+    cfg = dataclasses.replace(C.micro_test(batch_size=16), onehot_max=8,
+                              table_dtype=table_dtype)  # all tables -> take
+    model, params = init_model(cfg)
+    idx, dense = make_inputs(cfg, 16)
+    idx[3, 0] = 1 << 28   # far past the unified buffer's last row
+    idx[9, 4] = -7        # negative ids poison too
+
+    single = np.asarray(jax.jit(model.forward)(
+        params, jnp.asarray(idx), jnp.asarray(dense)))
+    assert np.isnan(single[3]) and np.isnan(single[9]), single
+
+    mesh = make_mesh(data=2, model=4)
+    sh = ShardedFleetRec(model, mesh)
+    sparams = sh.shard_params(params)
+    sidx, sdense = sh.shard_batch(jnp.asarray(idx), jnp.asarray(dense))
+    out = np.asarray(sh.forward(sparams, sidx, sdense))
+    np.testing.assert_array_equal(np.isnan(out), np.isnan(single))
+    good = ~np.isnan(single)
+    np.testing.assert_allclose(out[good], single[good], rtol=2e-6, atol=1e-6)
