@@ -106,6 +106,15 @@ struct Ingest {
   // injecting score bytes into the wrong stream.
   std::unique_ptr<std::atomic<int>[]> live_fds;
   std::unique_ptr<std::mutex[]> reply_mus;
+  // Every stripe's CURRENT accepted connection fd (-1 = none), guarded by
+  // fd_mu: ing_stop must shutdown() live connections too, or a stripe
+  // thread blocked in recv() on an idle-but-open client never observes
+  // stop and ing_destroy joins forever (a client that sends its batches
+  // and then just keeps the socket open is normal — it may be waiting for
+  // replies). fd_mu pairs the stop-side shutdown with the stripe-side
+  // close so shutdown can never hit a recycled fd number.
+  std::vector<int> conn_fds;
+  std::mutex fd_mu;
   std::atomic<bool> stop{false};
   std::atomic<int64_t> total_batches{0};
   std::atomic<int64_t> bytes_received{0};
@@ -172,6 +181,16 @@ void stripe_thread(Ingest* ing, int stripe_idx) {
       ing->sender_reconnects[st.sender].fetch_add(1, std::memory_order_relaxed);
     int one = 1;
     setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+    {
+      std::lock_guard<std::mutex> lk(ing->fd_mu);
+      if (ing->stop.load(std::memory_order_relaxed)) {
+        // lost the race with ing_stop's shutdown sweep: don't run a
+        // connection stop can no longer interrupt
+        ::close(fd);
+        return;
+      }
+      ing->conn_fds[stripe_idx] = fd;
+    }
     if (st.conn == 0)
       ing->live_fds[st.sender].store(fd, std::memory_order_release);
     bool conn_ok = run_connection(ing, st, fd, &batch);
@@ -180,8 +199,12 @@ void stripe_thread(Ingest* ing, int stripe_idx) {
       // reused by the next accept().
       std::lock_guard<std::mutex> lk(ing->reply_mus[st.sender]);
       ing->live_fds[st.sender].store(-1, std::memory_order_release);
+      std::lock_guard<std::mutex> lk2(ing->fd_mu);
+      ing->conn_fds[stripe_idx] = -1;
       ::close(fd);
     } else {
+      std::lock_guard<std::mutex> lk(ing->fd_mu);
+      ing->conn_fds[stripe_idx] = -1;
       ::close(fd);
     }
     if (!conn_ok) return;  // stop requested
@@ -368,6 +391,7 @@ int ing_listen(void* h) {
 // Spawn per-stripe receive threads (each blocks in accept()).
 void ing_start(void* h) {
   auto* ing = (Ingest*)h;
+  ing->conn_fds.assign(ing->stripes.size(), -1);
   for (int i = 0; i < (int)ing->stripes.size(); ++i) {
     ing->threads.emplace_back(stripe_thread, ing, i);
   }
@@ -469,6 +493,13 @@ void ing_stop(void* h) {
   }
   for (int fd : ing->listen_fds) ::shutdown(fd, SHUT_RDWR);
   for (int fd : ing->listen_fds) ::close(fd);
+  {
+    // unblock stripe threads sitting in recv() on live connections (see
+    // Ingest::conn_fds) — shutdown only; the owning thread closes
+    std::lock_guard<std::mutex> lk(ing->fd_mu);
+    for (int fd : ing->conn_fds)
+      if (fd >= 0) ::shutdown(fd, SHUT_RDWR);
+  }
   for (auto& t : ing->threads)
     if (t.joinable()) t.join();
   ing->threads.clear();

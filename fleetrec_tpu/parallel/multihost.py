@@ -61,17 +61,19 @@ def host_local_batch_to_global(mesh: Mesh, arr: np.ndarray, spec=P("data", None)
     return jax.make_array_from_process_local_data(sharding, arr)
 
 
-def global_scores_to_host_local(out) -> np.ndarray:
+def global_scores_to_host_local(out, axis: int = 0) -> np.ndarray:
     """THIS process's batch rows of a P(\"data\")-sharded global result, in
     global row order — the inverse of host_local_batch_to_global for the
     score egress: each host replies only the rows its own ingest tier
     contributed (the reference's per-sender score return path,
     cuda_server.c:624-632).  Model-axis replicas of the same data row are
-    deduped by shard index."""
+    deduped by shard index.  ``axis`` is the batch dimension: 0 for the
+    plain [B] forward, 1 for the fused/pipelined [K, B] output
+    (P(None, \"data\"))."""
     shards = {}
     for s in out.addressable_shards:
-        start = s.index[0].start or 0
+        start = s.index[axis].start or 0
         shards.setdefault(start, s)
     return np.concatenate(
-        [np.asarray(shards[k].data) for k in sorted(shards)], axis=0
+        [np.asarray(shards[k].data) for k in sorted(shards)], axis=axis
     )
