@@ -543,17 +543,19 @@ def lookup_concat(
     apply_layout, else the raw plan-order concat (+ dense tail) for
     psum-mode where the layout permutation is folded into W1.
 
-    Out-of-range row ids: one-hot path yields zeros; take-tier ids outside
-    their table's logical [0, rows) range poison the batch row with NaN
-    (take_bad_rows) — bad indices surface in scores on every forward (the
-    sharded path implements the same contract, parallel/sharded.py).
+    Out-of-range row ids AT THIS LAYER: one-hot path yields zeros; take
+    path follows jnp.take's fill semantics (NaN on positive overflow; a
+    negative id wraps NumPy-style).  The full fail-loud contract — ANY
+    take-tier id outside its table's [0, rows) poisons the row's SCORE
+    with NaN — is enforced by FleetRecModel.forward via take_bad_rows on
+    the [B] score vector (zero hot-path cost; a [B, emb]-wide poison here
+    measured ~3% on model1 e2e).
     """
     layout = packed.layout
     B = indices.shape[0]
     quant = packed.onehot_scales is not None
     parts = []
     k = 0
-    bad_take = None
     for i, (c, buf) in enumerate(zip(layout.onehot_classes, packed.onehot_buffers)):
         gi = jax.lax.slice_in_dim(indices, k, k + c.num_tables, axis=1)
         sc = packed.onehot_scales[i] if quant else None
@@ -576,7 +578,6 @@ def lookup_concat(
         n_take = layout.n_take
         tidx = jax.lax.slice_in_dim(indices, k, k + n_take, axis=1)  # [B, n_take]
         phys, sub = take_phys_sub(layout, tidx)
-        bad_take = take_bad_rows(layout, tidx)
         rows = jnp.take(packed.take_buffer, phys.reshape(-1), axis=0)
         rows = rows.reshape(B, n_take, layout.take_lanes)
         tq = packed.take_buffer.dtype == jnp.int8
@@ -600,8 +601,6 @@ def lookup_concat(
             kk += ng
 
     emb = jnp.concatenate(parts, axis=1) if parts else jnp.zeros((B, 0))
-    if bad_take is not None:
-        emb = jnp.where(bad_take[:, None], jnp.asarray(jnp.nan, emb.dtype), emb)
     emb = apply_qr_sums(emb, layout)
     if not apply_layout:
         if dense is not None:

@@ -101,6 +101,28 @@ class FleetRecModel:
             indices = indices[:, jnp.asarray(self.index_perm, dtype=jnp.int32)]
         return indices
 
+    def bad_take_rows(self, plan_indices: jax.Array):
+        """[B] bool (or None): rows whose take-tier ids fall outside their
+        table's [0, rows) range, from PLAN-order indices — poison these
+        rows' scores with NaN (the fail-loud contract of forward's
+        docstring; shared with the sharded forward).  Cost: B x n_take
+        int compares + a [B] where — nothing on the gather path."""
+        from .embedding import take_bad_rows
+
+        lay = self.layout
+        if not lay.take_groups:
+            return None
+        n_oh = lay.n_onehot
+        tidx = jax.lax.slice_in_dim(plan_indices, n_oh, n_oh + lay.n_take,
+                                    axis=1)
+        return take_bad_rows(lay, tidx)
+
+    @staticmethod
+    def poison_scores(scores: jax.Array, bad) -> jax.Array:
+        if bad is None:
+            return scores
+        return jnp.where(bad, jnp.asarray(jnp.nan, scores.dtype), scores)
+
     def forward(
         self,
         params: Dict,
@@ -128,9 +150,11 @@ class FleetRecModel:
                     f"{None if dense is None else dense.shape}"
                 )
         indices = self.plan_indices(indices)
+        bad = self.bad_take_rows(indices)
         if self.cfg.interaction == "dot":
             emb = lookup_concat(params["tables"], indices, None)
-            return interaction_head(self.cfg, params, emb, dense)
+            return self.poison_scores(
+                interaction_head(self.cfg, params, emb, dense), bad)
         feats = lookup_concat(params["tables"], indices, dense)
         dtype = jnp.dtype(self.cfg.dtype)
         x = feats.astype(dtype)
@@ -144,7 +168,7 @@ class FleetRecModel:
             params["mlp"], x, activation=self.cfg.mlp.activation,
             precision=self.cfg.matmul_precision,
         )
-        return scores[:, 0]
+        return self.poison_scores(scores[:, 0], bad)
 
 
 def interaction_head(cfg: ModelConfig, params: Dict, emb_flat: jax.Array,

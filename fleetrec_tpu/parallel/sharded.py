@@ -222,20 +222,12 @@ class ShardedFleetRec:
                 full, out_loc, (0, midx * n_loc * d))
             parts.append(jax.lax.slice_in_dim(full, 0, n * d, axis=1))
 
-        bad_take = None
         if layout.take_groups:
-            from ..models.embedding import take_bad_rows, take_phys_sub
+            from ..models.embedding import take_phys_sub
 
             n_take = layout.n_take
             tidx = jax.lax.slice_in_dim(indices, k, k + n_take, axis=1)
             phys, sub = take_phys_sub(layout, tidx)
-            # Out-of-range ids must surface exactly like the single-device
-            # forward (NaN scores, take_bad_rows docstring): the clip+mask
-            # below would otherwise contribute silent zeros —
-            # wrong-but-plausible scores — whenever host validation is
-            # bypassed (VERDICT r4 #6).  Each shard poisons its own
-            # partial; NaN survives the psum.
-            bad_take = take_bad_rows(layout, tidx)
 
             take_local = params["tables"].take_buffer  # [rows_local, lanes]
             rows_local = take_local.shape[0]
@@ -265,9 +257,6 @@ class ShardedFleetRec:
                 kk += ng
 
         emb = jnp.concatenate(parts, axis=1) if parts else jnp.zeros((B, 0))
-        if bad_take is not None:
-            emb = jnp.where(bad_take[:, None],
-                            jnp.asarray(jnp.nan, emb.dtype), emb)
         # QR sums are linear: applying them to this shard's partial emb
         # before the psum equals applying them after (embedding.py).
         from ..models.embedding import apply_qr_sums
@@ -349,10 +338,19 @@ class ShardedFleetRec:
         return scores[:, 0]
 
     def _local_forward(self, params, indices, dense):
-        """pre -> THE exchange (ONE psum) -> post, per device."""
+        """pre -> THE exchange (ONE psum) -> post, per device.
+
+        Scores of rows with out-of-range take ids are poisoned with NaN —
+        the single-device forward's fail-loud contract (VERDICT r4 #6;
+        the local clip+mask alone would contribute silent zeros).  Every
+        shard sees the same indices, so the [B]-level poison needs no
+        collective; plan_indices here CSEs with _local_pre's call."""
         part = self._local_pre(params, indices, dense)
         h = jax.lax.psum(part, "model")
-        return self._local_post(params, h, dense)
+        scores = self._local_post(params, h, dense)
+        model = self.model
+        return model.poison_scores(
+            scores, model.bad_take_rows(model.plan_indices(indices)))
 
     def _local_pipelined(self, params, indices, dense):
         """Software-double-buffered K-batch serving step, per device:
@@ -395,9 +393,17 @@ class ShardedFleetRec:
             part_last, dense_last = part0, d0
         h = jax.lax.psum(part_last, "model")
         s_last = self._local_post(params, h, dense_last)
-        if head is None:
-            return s_last[None]
-        return jnp.concatenate([head, s_last[None]], axis=0)
+        out = (s_last[None] if head is None
+               else jnp.concatenate([head, s_last[None]], axis=0))
+        # same fail-loud NaN contract as _local_forward, vectorized over
+        # the K fused batches ([K*B, T] through plan_indices/bad_take_rows)
+        model = self.model
+        K, B = indices.shape[0], indices.shape[1]
+        bad = model.bad_take_rows(
+            model.plan_indices(indices.reshape(K * B, -1)))
+        if bad is not None:
+            out = model.poison_scores(out, bad.reshape(K, B))
+        return out
 
     # Build in_specs as a pytree matching the params dict.
     def _make_specs(self, params_like):

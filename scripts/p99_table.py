@@ -6,12 +6,15 @@ post-processing, cuda_server.c:704-744).
 Three operating points per config:
   * production_sim: the servebench loop (same arrivals, batching, bounded
     in-flight window) with service time = the DeviceBench-MEASURED
-    per-batch device ms + 0.3 ms production dispatch, offered at 80% of
-    the device rate.  This is the committed production-p99 bound: every
-    term is either measured on this chip (device ms) or stated (0.3 ms
-    dispatch, GB/s-class H2D/readback which add <0.1 ms for these batch
-    sizes) — the tunnel does not appear.  SLA verdict (p99 <= 20 ms,
-    BASELINE.md) is computed from this point.
+    per-batch device ms + the MEASURED production dispatch
+    (artifacts/DISPATCH.json: real ingest loop with a stub scorer +
+    compiled-call overhead + bounded H2D; scripts/measure_dispatch.py),
+    offered at 80% of the modeled rate.  This is the committed
+    production-p99 bound: every term is measured on this rig except the
+    H2D staging bound (slot bytes / 10 GB/s, stated) — the tunnel does
+    not appear.  SLA verdict (p99 <= 20 ms, BASELINE.md) is computed
+    from this point.  (r3/r4 used a stated 0.3 ms dispatch constant —
+    VERDICT r4 retired it.)
   * fused (fuse=32, device pool): the real chip behind the tunnel with the
     RPC floor amortized — demonstrates the engine sustains ~the device
     rate end-to-end on THIS rig.
@@ -52,8 +55,24 @@ CONFIGS = [
 ]
 B = 4096
 FUSE = 32
-PROD_DISPATCH_MS = 0.3  # host-attached chip per-call dispatch (stated)
 SLA_P99_MS = 20.0       # BASELINE.md
+
+
+def dispatch_ms(name: str, bsz: int) -> tuple:
+    """MEASURED production dispatch for (config, batch) from
+    artifacts/DISPATCH.json (scripts/measure_dispatch.py: real ingest->
+    parse->validate->submit->drain loop with a stub scorer + compiled-call
+    overhead + H2D staging bound).  Replaces the r3/r4 stated 0.3 ms
+    constant (VERDICT r4 #2).  Falls back loudly if the artifact is
+    missing — run measure_dispatch.py first."""
+    path = os.path.join(REPO, "artifacts", "DISPATCH.json")
+    with open(path) as f:
+        d = json.load(f)["configs"][name][f"B{bsz}"]
+    basis = (f"measured device ms (scan+readback) + measured "
+             f"{d['host_loop_ms_per_batch'] + d['py_dispatch_ms']:.3f} ms "
+             f"host dispatch + bounded {d['h2d_bound_ms']:.3f} ms H2D "
+             f"(artifacts/DISPATCH.json); real engine loop, no tunnel term")
+    return d["dispatch_total_ms"], basis
 
 
 def log(*a):
@@ -147,20 +166,22 @@ def run_one(name):
            "percall_ms": round(percall_s * 1e3, 2),
            "tunnel_health": health}
 
-    # production-p99 bound: measured device ms + stated production
-    # dispatch, through the real engine loop at 80% of the device rate.
+    # production-p99 bound: measured device ms + MEASURED production
+    # dispatch (artifacts/DISPATCH.json; was a stated 0.3 ms through r4),
+    # through the real engine loop at 80% of the modeled rate.
     # Two batch sizes: B=4096 (throughput-shaped) and B=1024 (latency-
     # shaped); the SLA verdict is the better of the two operating points.
-    basis = ("measured device ms (scan+readback) + 0.3 ms stated "
-             "production dispatch; real engine loop, no tunnel term")
     for key, bsz, dms, dqps in (
         ("production_sim", B, device_ms, device_qps),
         ("production_sim_small_batch", B2, device_ms_b2, device_qps_b2),
     ):
         # offered = 80 % of the MODELED capacity (device + dispatch) —
         # basing it on the device-only rate overloads the system when the
-        # 0.3 ms dispatch is comparable to the per-batch device time
-        service = dms + PROD_DISPATCH_MS
+        # dispatch is comparable to the per-batch device time.  The
+        # dispatch is serialized with the device term here — conservative:
+        # bg_drain overlaps the next batch's parse with the readback.
+        disp, basis = dispatch_ms(name, bsz)
+        service = dms + disp
         sim = run_servebench(
             None, None, batch_size=bsz,
             offered_qps=0.8 * bsz / (service / 1e3),
@@ -169,7 +190,8 @@ def run_one(name):
         out[key] = {
             **_round_res(sim),
             "batch": bsz,
-            "service_model_ms": round(dms + PROD_DISPATCH_MS, 3),
+            "dispatch_ms": round(disp, 3),
+            "service_model_ms": round(service, 3),
             "basis": basis,
             "sla_p99_ms": SLA_P99_MS,
             "meets_sla": bool(sim.latency_ms_p99 <= SLA_P99_MS),
@@ -225,8 +247,9 @@ def main():
         "what": "per-query p50/p99 at ~80% offered load with the latency "
                 "decomposition {batch-fill wait, service} per point; "
                 "production_sim is the committed production-p99 bound "
-                "(measured device ms + 0.3 ms dispatch through the real "
-                "engine loop, tunnel excluded) and carries the SLA verdict",
+                "(measured device ms + MEASURED dispatch from "
+                "artifacts/DISPATCH.json, tunnel excluded) and carries "
+                "the SLA verdict",
         "hardware": "1 tunneled TPU v5e chip (dev setup); each config's "
                     "record embeds its own tunnel-health probe",
         "sla_reference": "BASELINE.md p99 <= 20 ms at target throughput; "

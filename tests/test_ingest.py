@@ -520,3 +520,36 @@ def test_servebench_cpu_smoke():
     assert r.n_queries > 500
     assert 0.5 * r.offered_qps < r.achieved_qps < 2 * r.offered_qps
     assert 0 < r.latency_ms_p50 <= r.latency_ms_p99 <= r.latency_ms_max
+
+
+def test_sixteen_sender_striped_assembly():
+    """Reference-scale fan-in (VERDICT r4 #7): the reference server runs
+    16 receive threads (constant.h:55, cuda_server.c:362-488).  16 senders
+    each own a fixed slice of every batch; the ring must assemble batches
+    in order with all 16 slices correctly placed, and the per-sender
+    counters must account every byte."""
+    NS, NB = 16, 12
+    per = 4096  # bytes per sender per batch
+    nbytes = [per] * NS
+    with IngestServer(nbytes, n_slots=4, port_base=PORT + 700) as ing:
+        lgs = [
+            Loadgen("127.0.0.1", PORT + 700 + s, [per], n_batches=NB,
+                    fill=float(s + 1)).start()
+            for s in range(NS)
+        ]
+        for b in range(NB):
+            got = ing.acquire(20_000)
+            assert got is not None, f"timeout at batch {b}"
+            slot, view, t_first, t_done = got
+            assert t_done >= t_first > 0
+            arr = view.reshape(NS, per // 4)
+            for s in range(NS):
+                assert np.all(arr[s] == float(s + 1)), (b, s)
+            ing.release(slot)
+        stats = ing.sender_stats()
+        for s, st in enumerate(stats):
+            assert st["bytes"] == per * NB, st
+            assert st["batches"] == NB, st
+        assert ing.bytes_received == NS * per * NB
+        for lg in lgs:
+            lg.join()

@@ -323,3 +323,68 @@ def test_send_to_targeted_backpressure():
                 break
         assert got_eagain
     c.stop = True
+
+
+def test_eleven_consumer_fanout_with_slow_and_killed():
+    """Reference-scale fan-out (VERDICT r4 #7): the scatter_krnl tier is
+    sized for 11 destination IPs (scatter.cpp:116-141).  11 consumers, one
+    pathologically slow (reads nothing until the end) and one killed
+    mid-stream: the 9 healthy ones must carry the load, the slow one sheds
+    only its own share, the dead one is marked dead and skipped, and the
+    producer never stalls.  Per-consumer counters expose the isolation."""
+    B = 1 << 18  # 1 MiB blocks defeat kernel socket buffering
+    nbytes = B * 4
+    N = 11
+    SLOW, DEAD = 9, 10
+    consumers = [
+        _Consumer(PORT + 200 + c, nbytes, paused=(c == SLOW))
+        for c in range(N)
+    ]
+    for c in consumers:
+        c.start()
+    NBLK = 110
+    with ScatterEgress(queue_blocks=2) as eg:
+        for c in range(N):
+            eg.connect("127.0.0.1", PORT + 200 + c)
+        # kill one consumer after its first block lands
+        t0 = time.time()
+        for i in range(NBLK):
+            eg.send(np.full(B, float(i), np.float32))
+            if i == 22:
+                consumers[DEAD].stop = True
+                consumers[DEAD].join(5)
+                time.sleep(0.2)  # let the RST surface producer-side
+        send_time = time.time() - t0
+        # the killed consumer's sender thread redials its (closed) port
+        # for ~5 s before marking dead (scatter.cpp consumer_thread
+        # docstring) — poll the counters until the marking lands
+        deadline = time.time() + 10
+        while time.time() < deadline and not eg.stats()["dead"][DEAD]:
+            time.sleep(0.2)
+        stats = eg.stats()
+        consumers[SLOW].resume.set()  # so close() can drain its queue
+    deadline = time.time() + 15
+    while (time.time() < deadline
+           and sum(len(c.blocks) for c in consumers) < NBLK - 5):
+        time.sleep(0.05)
+    for c in consumers:
+        c.stop = True
+    got = [len(c.blocks) for c in consumers]
+    # producer free-running: ~27 MiB through 9 healthy loopback consumers
+    assert send_time < 20.0, f"producer stalled: {send_time:.1f}s"
+    # dead consumer dropped its share AFTER the kill; the counters know
+    assert stats["dead"][DEAD] and sum(stats["dead"]) == 1, stats
+    assert stats["skipped"] > 0, stats
+    # the slow consumer absorbed at most queue(2) + in-flight + kernel buf
+    assert got[SLOW] <= 8, f"slow consumer absorbed too much: {got}"
+    # dead consumer got roughly its share up to the kill, little after
+    assert got[DEAD] <= 22 // N + 3, got
+    healthy = sum(got[c] for c in range(N) if c not in (SLOW, DEAD))
+    # nothing the healthy 9 were offered was lost; they carried the bulk
+    assert healthy >= NBLK - got[SLOW] - got[DEAD] - stats["skipped"], (
+        got, stats)
+    assert healthy >= NBLK * 0.7, (got, stats)
+    # every delivered block is intact
+    for c in consumers:
+        for blk in c.blocks:
+            assert np.all(blk == blk[0])
