@@ -146,6 +146,54 @@ def main():
         args.qps, args.port + 10, args.platform)
     print(json.dumps(results["points"]["offered"], indent=2), file=sys.stderr)
 
+    # Corroboration (VERDICT r4 #3): the real-path p99 minus the MEASURED
+    # tunnel terms of this window must bracket the production model's
+    # per-record time for the same operating point — so the committed e2e
+    # artifact and P99_TABLE's production_sim corroborate each other
+    # instead of coexisting.  Per fused record the tunnel contributes ONE
+    # RPC round-trip plus the [K, B, T] index payload at the probed H2D
+    # rate; what remains should be ~ fuse * (device_ms + dispatch_ms).
+    if health is not None:
+        try:
+            with open(os.path.join(REPO, "artifacts", "P99_TABLE.json")) as f:
+                ptab = json.load(f)["configs"][args.config]
+            with open(os.path.join(REPO, "artifacts", "DISPATCH.json")) as f:
+                disp = json.load(f)["configs"][args.config][f"B{args.batch}"]
+            from fleetrec_tpu import config as C
+
+            cfg = C.get_config(args.config, batch_size=args.batch)
+            device_ms = ptab["ms_per_batch_device"]
+            model_record_ms = args.fuse * (device_ms
+                                           + disp["dispatch_total_ms"])
+            payload_mb = (args.fuse * args.batch
+                          * (cfg.num_tables + cfg.dense_dim) * 4 / 1e6)
+            tunnel_ms = (health["rpc_ms"]
+                         + payload_mb / max(health["h2d_mbps"], 0.1) * 1e3)
+            real_p99 = results["points"]["offered"]["serve_summary"][
+                "latency_ms_p99"]
+            residual = real_p99 - tunnel_ms
+            results["corroboration"] = {
+                "what": "real-path offered-point p99 minus measured tunnel "
+                        "terms vs the production model (device + measured "
+                        "dispatch) for the same fused record",
+                "real_p99_ms_per_record": real_p99,
+                "tunnel_terms_ms": round(tunnel_ms, 1),
+                "residual_ms": round(residual, 1),
+                "production_model_ms": round(model_record_ms, 1),
+                "device_ms_source": "P99_TABLE.ms_per_batch_device",
+                "dispatch_ms_source": "DISPATCH.dispatch_total_ms",
+                # the residual carries host scheduling noise and batch-
+                # formation waits the model doesn't; bracket loosely
+                "consistent": bool(0.3 * model_record_ms
+                                   <= residual
+                                   <= 5.0 * model_record_ms
+                                   + 3 * health["rpc_ms"]),
+            }
+            print(json.dumps(results["corroboration"], indent=2),
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            results["corroboration"] = {"error": f"{type(e).__name__}: {e}"}
+
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
