@@ -23,9 +23,13 @@ projection.
 
 Measurement method: the tunneled single-chip setup's completion events are
 asynchronous (block_until_ready can return before device completion), so
-per-call host timing is unreliable.  We instead scan the forward over K
-device-resident index batches inside ONE compiled program and force
-completion with a scalar readback; wall/K is the per-batch device time.
+per-call host timing is unreliable.  We scan the forward over K
+device-resident index batches inside ONE compiled program, force
+completion with a scalar readback, and (r5) measure at BOTH K and 4K:
+(wall(4K) - wall(K)) / 3K is the per-batch device time with the per-call
+tunnel RPC+readback term cancelled exactly (wall/K alone overstates
+ms/batch by ~rpc/K — half of model1's true time at K=64; production
+chips are host-attached and never pay it; both raw walls are recorded).
 This is also the shape of the production dispatch loop (no per-batch host
 round trip).  Diagnostics go to stderr; stdout carries only the JSON line.
 
@@ -164,19 +168,44 @@ def bench_one(cfg, K):
     if dense is not None:
         bench = DeviceBench(lambda p, x: model.forward(p, x[0], x[1]))
         r = bench.measure(params, (idx, dense))
+        idx4 = jnp.asarray(np.concatenate([idx_np] * 4))
+        dense4 = jnp.asarray(np.concatenate([dense_np] * 4))
+        r4 = bench.measure(params, (idx4, dense4))
     else:
         bench = DeviceBench(lambda p, x: model.forward(p, x, None))
         r = bench.measure(params, idx)
-    qps = B / (r["per_iter_ms"] / 1e3)
-    log(f"  [{cfg.name}] {r['per_iter_ms']:.3f} ms/batch ({B}) -> "
-        f"{qps/1e6:.3f} M inf/s (compile {r['compile_s']:.1f}s, "
-        f"reps {[f'{t:.0f}ms' for t in r['reps_ms']]})")
+        idx4 = jnp.asarray(np.concatenate([idx_np] * 4))
+        r4 = bench.measure(params, idx4)
+    # Two-K differencing (r5): one scan wall carries ONE tunnel RPC +
+    # readback, so wall/K overstates the device time by rpc/K (~0.45 ms
+    # at K=64 — HALF of model1's true per-batch time).  wall(4K)-wall(K)
+    # cancels the additive per-call term exactly; production chips are
+    # host-attached and never pay it.  The raw wall/K number is kept for
+    # comparability with r1-r4 records (same method, same K).
+    dev_ms = (r4["total_s"] - r["total_s"]) / (3 * K) * 1e3
+    const_ms = r["total_s"] * 1e3 - K * dev_ms
+    if dev_ms <= 0:  # pathological window (tunnel stall mid-measurement)
+        log(f"  [{cfg.name}] two-K differencing degenerate "
+            f"(dev {dev_ms:.3f} ms); falling back to raw wall/K")
+        dev_ms = r["per_iter_ms"]
+        const_ms = 0.0
+    qps = B / (dev_ms / 1e3)
+    log(f"  [{cfg.name}] {dev_ms:.3f} ms/batch ({B}) -> "
+        f"{qps/1e6:.3f} M inf/s (raw scan {r['per_iter_ms']:.3f}@K={K} / "
+        f"{r4['per_iter_ms']:.3f}@{4*K}; per-call const {const_ms:.1f} ms; "
+        f"compile {r['compile_s']:.1f}s)")
     out = {
         "batch": B,
         "dtype": cfg.dtype,
         "table_dtype": cfg.table_dtype,
-        "ms_per_batch": round(r["per_iter_ms"], 4),
+        "ms_per_batch": round(dev_ms, 4),
         "inferences_per_sec": round(qps, 1),
+        "method": "two-K differencing: (wall(4K)-wall(K))/3K cancels the "
+                  "per-call tunnel RPC+readback term (r1-r4 divided one "
+                  "wall by K, overstating ms/batch by ~rpc/K)",
+        "ms_per_batch_raw_scan": round(r["per_iter_ms"], 4),
+        "ms_per_batch_raw_scan_4k": round(r4["per_iter_ms"], 4),
+        "percall_const_ms": round(const_ms, 2),
         "parity": parity,
         "scan_reps_ms": [round(t, 1) for t in r["reps_ms"]],
     }
@@ -219,7 +248,7 @@ def main():
         try:
             p = subprocess.run(
                 [sys.executable, __file__, "--one", name],
-                stdout=subprocess.PIPE, stderr=None, text=True, timeout=900,
+                stdout=subprocess.PIPE, stderr=None, text=True, timeout=1500,
             )
             if p.returncode != 0:
                 raise RuntimeError(f"rc={p.returncode}")
