@@ -32,8 +32,9 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CAP = 1_000_000
-K = 16
+# env overrides for CPU smoke tests of the script itself
+CAP = int(os.environ.get("SQUEEZE_CAP", 1_000_000))
+K = int(os.environ.get("SQUEEZE_K", 16))
 
 # name -> point spec
 POINTS = [
