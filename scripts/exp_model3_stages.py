@@ -137,9 +137,12 @@ def measure_stages(model, params, cfg):
         ("onehot", onehot_only, idx),
         ("mlp", mlp_only, feats),
     ):
-        r = DeviceBench(fn).measure(params, xs)
+        # r5: two-K differencing — the r4 absolutes carried ~rpc/K of
+        # per-call tunnel smear (utils/timing.measure_corrected)
+        r = DeviceBench(fn).measure_corrected(params, xs)
         out[name] = round(r["per_iter_ms"], 3)
-        log(f"  {name}: {r['per_iter_ms']:.3f} ms")
+        log(f"  {name}: {r['per_iter_ms']:.3f} ms "
+            f"(raw {r['raw_per_iter_ms']:.3f}, const {r['percall_const_ms']:.1f})")
     return out
 
 
@@ -162,6 +165,8 @@ def main():
     print(json.dumps({"exp": "stages", "config": "model3_int8_default",
                       **stages}), flush=True)
     del model, params
+    if "--stages-only" in sys.argv:
+        return
 
     log("=== factored re-sweep under int8 (same-process, relative) ===")
     sweep = []

@@ -1,0 +1,161 @@
+"""Multi-hot pooled embedding bags (models/pooled.py) vs a float64 numpy
+oracle — sum/mean pooling over padded [B, T, L] bags on the same packed
+storage (beyond-reference capability; DLRM-style sparse multi-hot)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fleetrec_tpu import config as C
+from fleetrec_tpu import reference as ref
+from fleetrec_tpu.models import init_model
+from fleetrec_tpu.models.pooled import forward_pooled
+
+L = 4
+
+
+def make_bags(cfg, B, seed=0, all_empty_row=None):
+    """Random bags with random valid lengths in [1, L]; -1 padding."""
+    rng = np.random.default_rng(seed)
+    idx = np.full((B, cfg.num_tables, L), -1, np.int32)
+    for j, t in enumerate(cfg.tables):
+        lens = rng.integers(1, L + 1, B)
+        for b in range(B):
+            idx[b, j, : lens[b]] = rng.integers(0, t.rows, lens[b])
+    if all_empty_row is not None:
+        idx[all_empty_row, :, :] = -1
+    dense = (rng.choice([-1.0, 1.0], (B, cfg.dense_dim)).astype(np.float32)
+             if cfg.dense_dim else None)
+    return idx, dense
+
+
+def oracle(cfg, tables, weights, idx, dense, mean=False):
+    """float64: per-table pooled embedding at its out_offset + dense tail
+    -> MLP chain."""
+    B = idx.shape[0]
+    feats = np.zeros((B, cfg.feature_dim), np.float64)
+    for j, t in enumerate(cfg.tables):
+        pooled = np.zeros((B, t.dim), np.float64)
+        cnt = np.zeros(B)
+        for l in range(L):
+            v = idx[:, j, l] >= 0
+            pooled[v] += tables[j][idx[v, j, l]]
+            cnt += v
+        if mean:
+            nz = cnt > 0
+            pooled[nz] /= cnt[nz, None]
+        feats[:, t.out_offset : t.out_offset + t.dim] = pooled
+    if cfg.dense_dim:
+        feats[:, cfg.feature_dim - cfg.dense_dim :] = dense
+    return ref.mlp_chain(feats, weights, cfg.mlp.activation)[:, 0]
+
+
+def mixed_cfg(**kw):
+    # onehot_max=70: dims 4/8 split across plain one-hot AND take
+    return dataclasses.replace(C.micro_test(batch_size=16), onehot_max=70,
+                               **kw)
+
+
+@pytest.mark.parametrize("mean", [False, True])
+def test_pooled_matches_oracle_mixed_tiers(mean):
+    cfg = mixed_cfg()
+    tables = ref.init_tables(cfg, scheme="pm1")
+    ws = ref.init_mlp_weights(cfg, scheme="ones")
+    model, params = init_model(cfg, tables_np=tables, mlp_np=ws)
+    idx, dense = make_bags(cfg, 16, all_empty_row=5)
+
+    out = np.asarray(jax.jit(
+        lambda p, i, d: forward_pooled(model, p, i, d, mean=mean)
+    )(params, jnp.asarray(idx), jnp.asarray(dense)))
+    golden = oracle(cfg, tables, ws, idx, dense, mean=mean)
+    if mean:
+        np.testing.assert_allclose(out, golden, rtol=1e-5, atol=1e-4)
+    else:
+        # pm1 sums are exact integers end to end
+        np.testing.assert_array_equal(out, golden.astype(np.float32))
+
+
+def test_pooled_factored_tier_and_int8():
+    """Factored hi/lo classes take the unrolled-L path; int8 storage pools
+    through the int32-exact accumulate + pow2 dequant."""
+    cfg = dataclasses.replace(C.micro_test(batch_size=12), onehot_max=8,
+                              onehot_factor_max=100, table_dtype="int8")
+    tables = ref.init_tables(cfg, scheme="pm1")
+    ws = ref.init_mlp_weights(cfg, scheme="ones")
+    model, params = init_model(cfg, tables_np=tables, mlp_np=ws)
+    assert model.layout.onehot_classes and any(
+        c.r2 for c in model.layout.onehot_classes)
+    idx, dense = make_bags(cfg, 12, seed=3)
+    out = np.asarray(jax.jit(
+        lambda p, i, d: forward_pooled(model, p, i, d)
+    )(params, jnp.asarray(idx), jnp.asarray(dense)))
+    golden = oracle(cfg, tables, ws, idx, dense)
+    np.testing.assert_array_equal(out, golden.astype(np.float32))
+
+
+def test_pooled_L1_matches_single_id_forward():
+    cfg = mixed_cfg()
+    model, params = init_model(cfg)
+    rng = np.random.default_rng(1)
+    idx = np.stack([rng.integers(0, t.rows, 16) for t in cfg.tables],
+                   1).astype(np.int32)
+    dense = rng.uniform(-1, 1, (16, cfg.dense_dim)).astype(np.float32)
+    single = np.asarray(jax.jit(model.forward)(
+        params, jnp.asarray(idx), jnp.asarray(dense)))
+    pooled = np.asarray(jax.jit(
+        lambda p, i, d: forward_pooled(model, p, i, d)
+    )(params, jnp.asarray(idx)[:, :, None], jnp.asarray(dense)))
+    np.testing.assert_array_equal(pooled, single)
+
+
+def test_pooled_qr_config():
+    """QR configs derive Q/R columns per bag slot; pooling commutes with
+    the linear QR sum."""
+    cfg = dataclasses.replace(mixed_cfg(), qr_threshold=100, qr_rem=16)
+    cfg.validate()
+    tables_logical = ref.init_tables(
+        dataclasses.replace(cfg, qr_threshold=0, qr_rem=0), scheme="pm1")
+    ws = ref.init_mlp_weights(cfg, scheme="ones")
+    model, params = init_model(cfg, mlp_np=ws)  # packs Q+R internally
+    # logical oracle tables: materialize Q[i//rem] + R[i%rem]
+    from fleetrec_tpu.config import qr_expand
+
+    internal, qr_positions, _sum = qr_expand(cfg)
+    qr_at = dict(qr_positions)
+    mats = []
+    for pos, spec in enumerate(cfg.tables):
+        if pos in qr_at:
+            rem = qr_at[pos]
+            Q = ref.init_table(internal[pos], scheme="pm1")
+            Rspec = next(t for t in internal[len(cfg.tables):]
+                         if t.out_offset == internal[pos].out_offset or True)
+            # R tables are appended in qr_positions order
+            ridx = len(cfg.tables) + [p for p, _ in qr_positions].index(pos)
+            R = ref.init_table(internal[ridx], scheme="pm1")
+            i = np.arange(spec.rows)
+            mats.append(Q[i // rem] + R[i % rem])
+        else:
+            mats.append(tables_logical[pos])
+    idx, dense = make_bags(cfg, 16, seed=7)
+    out = np.asarray(jax.jit(
+        lambda p, i, d: forward_pooled(model, p, i, d)
+    )(params, jnp.asarray(idx), jnp.asarray(dense)))
+    golden = oracle(cfg, mats, ws, idx, dense)
+    np.testing.assert_array_equal(out, golden.astype(np.float32))
+
+
+def test_pooled_bad_id_nan_padding_ok():
+    cfg = mixed_cfg()
+    model, params = init_model(cfg)
+    idx, dense = make_bags(cfg, 16, seed=2, all_empty_row=4)
+    idx[7, -1, 0] = 1 << 28  # beyond the last (take) table's rows
+    out = np.asarray(jax.jit(
+        lambda p, i, d: forward_pooled(model, p, i, d)
+    )(params, jnp.asarray(idx), jnp.asarray(dense)))
+    assert np.isnan(out[7])
+    good = np.ones(16, bool)
+    good[7] = False
+    assert np.all(np.isfinite(out[good]))  # padding alone never poisons
