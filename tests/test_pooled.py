@@ -130,8 +130,6 @@ def test_pooled_qr_config():
         if pos in qr_at:
             rem = qr_at[pos]
             Q = ref.init_table(internal[pos], scheme="pm1")
-            Rspec = next(t for t in internal[len(cfg.tables):]
-                         if t.out_offset == internal[pos].out_offset or True)
             # R tables are appended in qr_positions order
             ridx = len(cfg.tables) + [p for p, _ in qr_positions].index(pos)
             R = ref.init_table(internal[ridx], scheme="pm1")
@@ -159,3 +157,26 @@ def test_pooled_bad_id_nan_padding_ok():
     good = np.ones(16, bool)
     good[7] = False
     assert np.all(np.isfinite(out[good]))  # padding alone never poisons
+
+
+def test_pooled_data_parallel_gspmd():
+    """The pooled forward is jittable under a data-sharded batch (tables
+    replicated — GSPMD DP; model-axis sharding of bags is future work,
+    noted in models/pooled.py)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    cfg = mixed_cfg()
+    model, params = init_model(cfg)
+    idx, dense = make_bags(cfg, 16, seed=9)
+    single = np.asarray(jax.jit(
+        lambda p, i, d: forward_pooled(model, p, i, d)
+    )(params, jnp.asarray(idx), jnp.asarray(dense)))
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+    bspec = NamedSharding(mesh, P("data", None, None))
+    dspec = NamedSharding(mesh, P("data", None))
+    out = np.asarray(jax.jit(
+        lambda p, i, d: forward_pooled(model, p, i, d)
+    )(params, jax.device_put(jnp.asarray(idx), bspec),
+      jax.device_put(jnp.asarray(dense), dspec)))
+    np.testing.assert_allclose(out, single, rtol=2e-6, atol=1e-6)
