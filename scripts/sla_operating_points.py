@@ -1,13 +1,14 @@
 """Find each config's best SLA-compliant production operating point.
 
 Reads the measured per-batch device times from artifacts/P99_TABLE.json
-(captured on-chip by scripts/p99_table.py) and sweeps the PRODUCTION
-simulation (real engine loop, virtual device at measured service time +
-0.3 ms dispatch — servebench simulate_service_ms) over batch size x
-offered load, recording the highest throughput whose per-query p99 meets
-the 20 ms SLA.  This is the committed "production p99 <= X ms at Y q/s"
-number VERDICT r3 #5 asked for; it needs no chip (the device ms is the
-only measured input), so it runs after every p99_table capture.
+(captured on-chip by scripts/p99_table.py, r5: two-K tunnel-clean) and
+the MEASURED production dispatch from artifacts/DISPATCH.json, and
+sweeps the PRODUCTION simulation (real engine loop, virtual device at
+device + dispatch service time — servebench simulate_service_ms) over
+batch size x offered load, recording the highest throughput whose
+per-query p99 meets the 20 ms SLA.  Needs no chip; runs after every
+p99_table capture.  (The fixed 80%-load production_sim points are owned
+by p99_table.py itself — this script only adds sla_operating_point.)
 
 Writes the result back into P99_TABLE.json under
 configs[<name>]["sla_operating_point"].
@@ -21,7 +22,16 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SLA_MS = 20.0
-PROD_DISPATCH_MS = 0.3
+
+
+def dispatch_ms_for(name, bsz):
+    """Measured dispatch (artifacts/DISPATCH.json) for (config, batch);
+    linear in B between the two measured batch sizes."""
+    path = os.path.join(REPO, "artifacts", "DISPATCH.json")
+    with open(path) as f:
+        d = json.load(f)["configs"][name]
+    d1, d4 = d["B1024"]["dispatch_total_ms"], d["B4096"]["dispatch_total_ms"]
+    return d1 + (d4 - d1) * (bsz - 1024) / (4096 - 1024)
 
 
 def log(*a):
@@ -45,36 +55,6 @@ def main():
     for name, rec in art["configs"].items():
         if "ms_per_batch_device" not in rec:
             continue
-        # recompute the two fixed production points with the CURRENT
-        # simulator (time-scaled loop, offered based on modeled capacity)
-        # so the artifact is coherent even if configs were captured across
-        # simulator revisions; the measured device ms is the only input
-        basis = ("measured device ms (scan+readback) + 0.3 ms stated "
-                 "production dispatch; real engine loop (time-scaled sim), "
-                 "no tunnel term")
-        for key, bkey, dkey in (
-            ("production_sim", "batch", "ms_per_batch_device"),
-            ("production_sim_small_batch", "batch_small",
-             "ms_per_batch_device_small"),
-        ):
-            bsz, dms = rec.get(bkey), rec.get(dkey)
-            if not bsz or not dms:
-                continue
-            service = dms + PROD_DISPATCH_MS
-            sim = run_servebench(
-                None, None, batch_size=bsz,
-                offered_qps=0.8 * bsz / (service / 1e3),
-                duration_s=6.0, max_wait_ms=2.0,
-                simulate_service_ms=service)
-            rec[key] = {**round_res(sim), "batch": bsz,
-                        "service_model_ms": round(service, 3),
-                        "basis": basis, "sla_p99_ms": SLA_MS,
-                        "meets_sla": bool(sim.latency_ms_p99 <= SLA_MS)}
-            log(f"[{name}] {key} B={bsz}: p99 {sim.latency_ms_p99:.1f} "
-                f"at {sim.offered_qps/1e6:.2f}M")
-        rec["meets_sla_any"] = bool(
-            rec.get("production_sim", {}).get("meets_sla")
-            or rec.get("production_sim_small_batch", {}).get("meets_sla"))
         # per-query device cost is per-index flat (docs/DESIGN.md): scale
         # the measured B=4096 and B=1024 points to intermediate batches by
         # interpolating on the per-batch times actually measured
@@ -85,21 +65,22 @@ def main():
             (2048 - 1024) / (4096 - 1024))
         best = None
         for bsz, dms in sorted(points.items()):
-            cap = bsz / ((dms + PROD_DISPATCH_MS) / 1e3)  # saturation q/s
+            service = dms + dispatch_ms_for(name, bsz)
+            cap = bsz / (service / 1e3)  # saturation q/s
             for frac in (0.9, 0.8, 0.7, 0.6, 0.5):
                 offered = frac * cap
                 sim = run_servebench(
                     None, None, batch_size=bsz, offered_qps=offered,
                     duration_s=6.0, max_wait_ms=2.0,
-                    simulate_service_ms=dms + PROD_DISPATCH_MS)
+                    simulate_service_ms=service)
                 ok = sim.latency_ms_p99 <= SLA_MS
-                log(f"[{name}] B={bsz} dms={dms:.2f} offered={offered/1e6:.2f}M "
+                log(f"[{name}] B={bsz} svc={service:.2f} offered={offered/1e6:.2f}M "
                     f"p99={sim.latency_ms_p99:.1f} {'OK' if ok else 'no'}")
                 if ok and (best is None or sim.achieved_qps > best["qps"]):
                     best = {"qps": round(sim.achieved_qps, 1),
                             "batch": bsz,
                             "load_fraction": frac,
-                            "service_model_ms": round(dms + PROD_DISPATCH_MS, 3),
+                            "service_model_ms": round(service, 3),
                             "p50_ms": round(sim.latency_ms_p50, 2),
                             "p99_ms": round(sim.latency_ms_p99, 2)}
                 if ok:
@@ -110,11 +91,11 @@ def main():
 
     art["sla_operating_point_note"] = (
         "per config: highest simulated throughput meeting p99 <= 20 ms — "
-        "real engine loop with service = measured device ms (+0.3 ms "
-        "stated dispatch), batch sizes 1024/2048/4096, load fractions "
-        "0.5-0.9 of saturation; device ms values carry the scan method's "
-        "rpc/K tunnel smear (see rpc_smear_ms_per_batch_est), so these "
-        "are conservative")
+        "real engine loop with service = two-K measured device ms + "
+        "MEASURED dispatch (artifacts/DISPATCH.json, interpolated in B), "
+        "batch sizes 1024/2048/4096, load fractions 0.5-0.9 of "
+        "saturation; dispatch is serialized with the device term "
+        "(conservative — bg_drain overlaps them in production)")
     with open(path, "w") as f:
         json.dump(art, f, indent=2)
         f.write("\n")
