@@ -264,6 +264,11 @@ def cmd_bench(args):
     measurement variants that disable the matmuls to isolate the data path
     (GPU/measure_network_cuda_cp_latency_*, cuda_server.c:627-650):
       e2e (default) | lookup (gather+concat only) | mlp (scoring only).
+
+    r5: reports the two-K-differenced device time (the single-scan wall
+    carries one ~25-30 ms tunnel RPC, i.e. rpc/iters of per-batch smear;
+    utils/timing.measure_corrected) plus the raw wall/K for comparison
+    with r1-r4 records.
     """
     import jax.numpy as jnp
 
@@ -279,7 +284,7 @@ def cmd_bench(args):
             rng.uniform(-1, 1, (K, args.batch, cfg.feature_dim)).astype(np.float32)
         ).astype(jnp.dtype(cfg.dtype))
         bench = DeviceBench(lambda p, xb: mlp_apply(p["mlp"], xb))
-        r = bench.measure(params, x)
+        r = bench.measure_corrected(params, x)
     else:
         idx = jnp.asarray(
             np.stack(
@@ -306,13 +311,16 @@ def cmd_bench(args):
                 return model.forward(p, x, None)
 
         bench = DeviceBench(step)
-        r = bench.measure(params, (idx, dense) if dense is not None else idx)
+        r = bench.measure_corrected(
+            params, (idx, dense) if dense is not None else idx)
     qps = args.batch / (r["per_iter_ms"] / 1e3)
     print(json.dumps({
         "config": cfg.name, "stage": args.stage, "batch": args.batch,
         "dtype": cfg.dtype,
         "ms_per_batch": round(r["per_iter_ms"], 4),
         "inferences_per_sec": round(qps, 1),
+        "ms_per_batch_raw_scan": round(r["raw_per_iter_ms"], 4),
+        "percall_const_ms": round(r["percall_const_ms"], 2),
     }))
 
 
@@ -451,16 +459,21 @@ def cmd_gatherbench(args):
     table = jnp.asarray(rng.standard_normal((R, L)).astype(np.float32))
     idx = jnp.asarray(rng.integers(0, R, (K, N)).astype(np.int32))
 
+    # r5: two-K-differenced (the single-scan wall's per-call tunnel term
+    # is ~rpc/(K*N) per ROW — at the defaults it was HALF the reported
+    # ns/row; relative verdicts between the three kernels were unaffected)
     res = {}
     b = DeviceBench(lambda t, i: jnp.take(t, i, axis=0))
-    res["xla_take_ns_per_row"] = b.measure(table, idx)["per_iter_ms"] * 1e6 / N
+    res["xla_take_ns_per_row"] = (
+        b.measure_corrected(table, idx)["per_iter_ms"] * 1e6 / N)
     b = DeviceBench(lambda t, i: gather_rows(t, i, chunk=args.chunk,
                                              window=args.window))
-    res["pallas_dma_ns_per_row"] = b.measure(table, idx)["per_iter_ms"] * 1e6 / N
+    res["pallas_dma_ns_per_row"] = (
+        b.measure_corrected(table, idx)["per_iter_ms"] * 1e6 / N)
     b = DeviceBench(lambda t, i: gather_rows_grouped(
         t, i, chunk=args.chunk, group=args.group, window=args.window))
     res["pallas_grouped_ns_per_row"] = (
-        b.measure(table, idx)["per_iter_ms"] * 1e6 / N)
+        b.measure_corrected(table, idx)["per_iter_ms"] * 1e6 / N)
     # gather_rows_grouped shrinks chunk to a multiple of group; record the
     # effective value so the JSON doesn't misstate the grouped kernel's run
     grouped_chunk = (args.chunk // max(1, min(args.group, args.chunk))) * max(
