@@ -46,6 +46,111 @@ from .embedding import (
 )
 
 
+def pooled_class_lookup(buf, c, gi, gv, scale=None, mean: bool = False):
+    """Pooled lookup for ONE one-hot/factored class: ids [B, n, L] +
+    validity [B, n, L] -> [B, n*d].  ``n`` may be the class's LOCAL table
+    shard (the sharded path slices the index columns before calling).
+    Plain classes pool via a multi-hot mask (same one MXU matmul as a
+    single-id lookup); factored classes unroll the L slots."""
+    B, n, L = gi.shape
+    quant = buf.dtype == jnp.int8
+    if c.r2 == 0:
+        # multi-hot mask: one matmul pools the whole bag (padding ids are
+        # negative and match no iota position)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (c.rows_pad,), 0)
+        mh = (gi[..., None] == iota).astype(buf.dtype)  # [B, n, L, R]
+        mh = mh.sum(axis=2)  # [B, n, R] multi-hot
+        out = jax.lax.dot_general(
+            mh, buf,
+            dimension_numbers=(((2,), (1,)), ((1,), (0,))),
+            preferred_element_type=jnp.int32 if quant else jnp.float32,
+        )  # [n, B, d]
+        if quant:
+            out = out.astype(jnp.float32) * scale
+        out = out.transpose(1, 0, 2).reshape(B, n * c.dim)
+        pooled = out if quant else out.astype(buf.dtype)
+    else:
+        # factored classes: unrolled sum of L single-id lookups with
+        # invalid slots zeroed (id 0 stands in; its row is masked off)
+        acc = None
+        for l in range(L):
+            idl = jnp.where(gv[:, :, l], gi[:, :, l], 0)
+            e = _onehot_lookup(buf, c, idl, scale)  # [B, n*d]
+            m = jnp.repeat(gv[:, :, l], c.dim, axis=1).astype(e.dtype)
+            e = e * m
+            acc = e if acc is None else acc + e
+        pooled = acc
+    if mean:
+        cnt = gv.sum(axis=2).astype(jnp.float32)  # [B, n]
+        inv = jnp.where(cnt > 0, 1.0 / jnp.maximum(cnt, 1.0), 0.0)
+        pooled = (pooled.reshape(B, n, c.dim)
+                  * inv[:, :, None].astype(pooled.dtype)
+                  ).reshape(B, n * c.dim)
+    return pooled
+
+
+def pooled_take_extract(packed: PackedTables, tidx, tval, local_start=0,
+                        local_rows=None, mean: bool = False):
+    """Pooled take-tier gather+extract: plan-order bag ids [B, n_take, L]
+    + validity -> [B, sum(n_g * d_g)].  With local_start/local_rows the
+    gather runs against a LOCAL row-range shard of the take buffer
+    (clip+mask, the sharded path); padding and out-of-range rows
+    contribute zero (range errors are surfaced by the CALLER's NaN
+    poison, pooled_bad_rows)."""
+    layout = packed.layout
+    B, n_take, L = tidx.shape
+    safe_ids = jnp.where(tval, tidx, 0)
+    ids2 = safe_ids.transpose(0, 2, 1).reshape(B * L, n_take)
+    phys, sub = take_phys_sub(layout, ids2)
+    phys = phys.reshape(B, L, n_take).transpose(0, 2, 1)
+    sub = sub.reshape(B, L, n_take).transpose(0, 2, 1)
+    buf = packed.take_buffer
+    bag_val = tval  # GLOBAL bag validity — the mean denominator
+    if local_rows is not None:
+        ploc = phys - local_start
+        lval = (ploc >= 0) & (ploc < local_rows)
+        rows = jnp.take(buf, jnp.clip(ploc, 0, local_rows - 1).reshape(-1),
+                        axis=0, mode="clip")
+        tval = tval & lval  # einsum mask only; counts stay global
+    else:
+        rows = jnp.take(buf, phys.reshape(-1), axis=0)
+    rows = rows.reshape(B, n_take, L, layout.take_lanes)
+    tq = buf.dtype == jnp.int8
+    outs = []
+    kk = 0
+    for g in layout.take_groups:
+        ng, s, d = g.num_tables, g.rows_per_phys, g.dim
+        r = jax.lax.slice_in_dim(rows, kk, kk + ng, axis=1)
+        r = r.reshape(B, ng, L, s, d)
+        sb = jax.lax.slice_in_dim(sub, kk, kk + ng, axis=1)  # [B,ng,L]
+        gv = jax.lax.slice_in_dim(tval, kk, kk + ng, axis=1)
+        gvb = jax.lax.slice_in_dim(bag_val, kk, kk + ng, axis=1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (s,), 0)
+        # select the sub-row AND zero padding/non-local slots in one mask,
+        # then sum over both the sub-row and bag axes
+        if tq:
+            m = ((sb[..., None] == iota) & gv[..., None]).astype(jnp.int32)
+            e = jnp.einsum("bnlsd,bnls->bnd", r.astype(jnp.int32), m)
+            sc = jax.lax.slice_in_dim(packed.take_scales, kk, kk + ng)
+            e = e.astype(jnp.float32) * sc[None, :, None]
+        else:
+            m = ((sb[..., None] == iota) & gv[..., None]).astype(r.dtype)
+            e = jnp.einsum("bnlsd,bnls->bnd", r, m)
+        outs.append((e, gvb))
+        kk += ng
+    if mean:
+        # NOTE: under the sharded path ``mean`` must divide by the GLOBAL
+        # valid count — callers pass the global validity for that
+        res = []
+        for e, gv in outs:
+            cnt = gv.sum(axis=2).astype(jnp.float32)
+            inv = jnp.where(cnt > 0, 1.0 / jnp.maximum(cnt, 1.0), 0.0)
+            res.append((e * inv[:, :, None].astype(e.dtype)).reshape(
+                e.shape[0], -1))
+        return res
+    return [e.reshape(e.shape[0], -1) for e, _gv in outs]
+
+
 def pooled_lookup_concat(
     packed: PackedTables,
     indices: jax.Array,
@@ -68,81 +173,13 @@ def pooled_lookup_concat(
         gv = jax.lax.slice_in_dim(valid, k, k + c.num_tables, axis=1)
         sc = packed.onehot_scales[i] if quant else None
         k += c.num_tables
-        if c.r2 == 0:
-            # multi-hot mask: one matmul pools the whole bag (padding ids
-            # are negative and match no iota position)
-            iota = jax.lax.broadcasted_iota(jnp.int32, (c.rows_pad,), 0)
-            mh = (gi[..., None] == iota).astype(buf.dtype)  # [B, n, L, R]
-            mh = mh.sum(axis=2)  # [B, n, R] multi-hot
-            out = jax.lax.dot_general(
-                mh, buf,
-                dimension_numbers=(((2,), (1,)), ((1,), (0,))),
-                preferred_element_type=jnp.int32 if quant else jnp.float32,
-            )  # [n, B, d]
-            if quant:
-                out = out.astype(jnp.float32) * sc
-            out = out.transpose(1, 0, 2).reshape(B, c.num_tables * c.dim)
-            pooled = out if quant else out.astype(buf.dtype)
-        else:
-            # factored classes: unrolled sum of L single-id lookups with
-            # invalid slots zeroed (id 0 stands in; its row is masked off)
-            acc = None
-            for l in range(L):
-                idl = jnp.where(gv[:, :, l], gi[:, :, l], 0)
-                e = _onehot_lookup(buf, c, idl, sc)  # [B, n*d]
-                m = jnp.repeat(gv[:, :, l], c.dim, axis=1).astype(e.dtype)
-                e = e * m
-                acc = e if acc is None else acc + e
-            pooled = acc
-        if mean:
-            cnt = gv.sum(axis=2).astype(jnp.float32)  # [B, n]
-            inv = jnp.where(cnt > 0, 1.0 / jnp.maximum(cnt, 1.0), 0.0)
-            pooled = (pooled.reshape(B, c.num_tables, c.dim)
-                      * inv[:, :, None].astype(pooled.dtype)
-                      ).reshape(B, c.num_tables * c.dim)
-        parts.append(pooled)
+        parts.append(pooled_class_lookup(buf, c, gi, gv, sc, mean))
 
     if layout.take_groups:
         n_take = layout.n_take
         tidx = jax.lax.slice_in_dim(indices, k, k + n_take, axis=1)  # [B,n,L]
         tval = jax.lax.slice_in_dim(valid, k, k + n_take, axis=1)
-        safe_ids = jnp.where(tval, tidx, 0)
-        # take_phys_sub maps per-COLUMN (one table per column): fold the
-        # bag axis into the batch axis, then restore [B, n, L]
-        ids2 = safe_ids.transpose(0, 2, 1).reshape(B * L, n_take)
-        phys, sub = take_phys_sub(layout, ids2)
-        phys = phys.reshape(B, L, n_take).transpose(0, 2, 1)
-        sub = sub.reshape(B, L, n_take).transpose(0, 2, 1)
-        rows = jnp.take(packed.take_buffer, phys.reshape(-1), axis=0)
-        rows = rows.reshape(B, n_take, L, layout.take_lanes)
-        tq = packed.take_buffer.dtype == jnp.int8
-        kk = 0
-        outs = []
-        for g in layout.take_groups:
-            ng, s, d = g.num_tables, g.rows_per_phys, g.dim
-            r = jax.lax.slice_in_dim(rows, kk, kk + ng, axis=1)
-            r = r.reshape(B, ng, L, s, d)
-            sb = jax.lax.slice_in_dim(sub, kk, kk + ng, axis=1)  # [B,ng,L]
-            gv = jax.lax.slice_in_dim(tval, kk, kk + ng, axis=1)
-            iota = jax.lax.broadcasted_iota(jnp.int32, (s,), 0)
-            # select the sub-row AND zero padding slots in one mask, then
-            # sum over both the sub-row and bag axes (exact: one nonzero
-            # per valid (slot, sub-row) pair)
-            if tq:
-                m = ((sb[..., None] == iota) & gv[..., None]).astype(jnp.int32)
-                e = jnp.einsum("bnlsd,bnls->bnd", r.astype(jnp.int32), m)
-                sc = jax.lax.slice_in_dim(packed.take_scales, kk, kk + ng)
-                e = e.astype(jnp.float32) * sc[None, :, None]
-            else:
-                m = ((sb[..., None] == iota) & gv[..., None]).astype(r.dtype)
-                e = jnp.einsum("bnlsd,bnls->bnd", r, m)
-            if mean:
-                cnt = gv.sum(axis=2).astype(jnp.float32)
-                inv = jnp.where(cnt > 0, 1.0 / jnp.maximum(cnt, 1.0), 0.0)
-                e = e * inv[:, :, None].astype(e.dtype)
-            outs.append(e.reshape(B, ng * d))
-            kk += ng
-        parts.extend(outs)
+        parts.extend(pooled_take_extract(packed, tidx, tval, mean=mean))
 
     emb = jnp.concatenate(parts, axis=1) if parts else jnp.zeros((B, 0))
     emb = apply_qr_sums(emb, layout)
@@ -172,20 +209,12 @@ def pooled_bad_rows(model, plan_indices: jax.Array):
     return jnp.any(tidx >= lim[None, :, None], axis=(1, 2))
 
 
-def forward_pooled(model, params, indices, dense=None, mean: bool = False):
-    """Bag-pooled forward on a FleetRecModel: [B, num_tables, L]
-    config-order ids (-1 padding) -> scores [B].  QR configs derive the
-    Q/R columns per bag slot (linear pooling commutes with the QR sum)."""
-    from .mlp import mlp_apply
-
-    cfg = model.cfg
-    if indices.ndim != 3 or indices.shape[1] != cfg.num_tables:
-        raise ValueError(
-            f"indices must be [B, {cfg.num_tables}, L], got {indices.shape}")
+def plan_bags(model, indices: jax.Array) -> jax.Array:
+    """[B, num_tables, L] config-order bag ids (-1 padding) -> plan-order
+    [B, T', L]: QR column derivation + spec->plan permutation applied per
+    bag slot, with the padding marker preserved (QR columns derived from
+    a padding slot stay padding)."""
     B, _T, L = indices.shape
-    # plan_indices operates on [B, T]: apply it per bag slot, preserving
-    # the padding marker (-1 stays negative through // and % only if
-    # handled — derive QR columns from the clamped ids and re-mark)
     neg = indices < 0
     flat = jnp.where(neg, 0, indices).transpose(0, 2, 1).reshape(B * L, -1)
     planned = model.plan_indices(flat)
@@ -196,8 +225,23 @@ def forward_pooled(model, params, indices, dense=None, mean: bool = False):
     if model.index_perm:
         negf = negf[:, jnp.asarray(model.index_perm, dtype=jnp.int32)]
     planned = jnp.where(negf, -1, planned)
-    planned = planned.reshape(B, L, -1).transpose(0, 2, 1)  # [B, T', L]
+    return planned.reshape(B, L, -1).transpose(0, 2, 1)  # [B, T', L]
 
+
+def forward_pooled(model, params, indices, dense=None, mean: bool = False):
+    """Bag-pooled forward on a FleetRecModel: [B, num_tables, L]
+    config-order ids (-1 padding) -> scores [B].  QR configs derive the
+    Q/R columns per bag slot (linear pooling commutes with the QR sum).
+    The multi-chip variant is ShardedFleetRec.forward_pooled (same
+    partitioned-class + local-row-range + one-psum structure as the
+    single-id sharded forward)."""
+    from .mlp import mlp_apply
+
+    cfg = model.cfg
+    if indices.ndim != 3 or indices.shape[1] != cfg.num_tables:
+        raise ValueError(
+            f"indices must be [B, {cfg.num_tables}, L], got {indices.shape}")
+    planned = plan_bags(model, indices)
     bad = pooled_bad_rows(model, planned)
     feats = pooled_lookup_concat(params["tables"], planned, dense, mean=mean)
     x = feats.astype(jnp.dtype(cfg.dtype))

@@ -80,6 +80,7 @@ class ShardedFleetRec:
     def __init__(self, model: FleetRecModel, mesh: Mesh):
         self.model = model
         self.mesh = mesh
+        self._pooled_jits: Dict = {}  # (mean, has_dense) -> jitted fwd
 
     # ---- sharding specs -------------------------------------------------
     @property
@@ -257,6 +258,16 @@ class ShardedFleetRec:
                 kk += ng
 
         emb = jnp.concatenate(parts, axis=1) if parts else jnp.zeros((B, 0))
+        return self._pre_tail(params, emb, dense, midx)
+
+    def _pre_tail(self, params, emb, dense, midx):
+        """Shared tail of the per-shard pre-psum computation (single-id
+        and pooled): QR sums, dense tail (shard-0-contributed), zero pad
+        column, then the W1-fold partial product or the feature-perm
+        gather — the value the psum reduces."""
+        model = self.model
+        layout = model.layout
+        B = emb.shape[0]
         # QR sums are linear: applying them to this shard's partial emb
         # before the psum equals applying them after (embedding.py).
         from ..models.embedding import apply_qr_sums
@@ -297,6 +308,110 @@ class ShardedFleetRec:
         # fallback pre-psum value: interaction heads need the actual
         # feature vector, and F < H1 configs move fewer bytes this way
         return jnp.take(src, perm, axis=1)
+
+    def _local_pooled(self, params, indices, dense, mean):
+        """Bag-pooled per-shard forward (models/pooled.py's multi-chip
+        variant): partitioned one-hot/factored classes pool their local
+        tables' bags, the take tier gathers its local row-range with the
+        bag axis folded in, ONE psum reduces the partials, and the same
+        fail-loud NaN contract applies (pooled_bad_rows: negative ids are
+        padding, valid-but-out-of-range ids poison).  Supported for
+        interaction='none' configs (the pooled head is the plain MLP)."""
+        from ..models.pooled import (
+            plan_bags,
+            pooled_bad_rows,
+            pooled_class_lookup,
+            pooled_take_extract,
+        )
+
+        model = self.model
+        if model.cfg.interaction != "none":
+            raise NotImplementedError(
+                "pooled sharded forward supports interaction='none'")
+        layout = model.layout
+        midx = jax.lax.axis_index("model")
+        B, _T, L = indices.shape
+        planned = plan_bags(model, indices)  # [B, T', L]
+        valid = planned >= 0
+        pt = params["tables"]
+        quant = pt.onehot_scales is not None
+        M = self.n_model
+        parts = []
+        k = 0
+        for i, (c, buf) in enumerate(zip(layout.onehot_classes, pt.onehot_buffers)):
+            gi = jax.lax.slice_in_dim(planned, k, k + c.num_tables, axis=1)
+            gv = jax.lax.slice_in_dim(valid, k, k + c.num_tables, axis=1)
+            k += c.num_tables
+            sc = pt.onehot_scales[i] if quant else None
+            if M == 1:
+                parts.append(pooled_class_lookup(buf, c, gi, gv, sc, mean))
+                continue
+            # partitioned class (see _local_pre): this shard pools only
+            # its own tables' bags; pad columns are marked PADDING (-1 /
+            # False) so pad tables contribute nothing
+            n, d = c.num_tables, c.dim
+            n_loc = buf.shape[0]
+            n_pad = n_loc * M
+            if n_pad > n:
+                gi = jnp.pad(gi, ((0, 0), (0, n_pad - n), (0, 0)),
+                             constant_values=-1)
+                gv = jnp.pad(gv, ((0, 0), (0, n_pad - n), (0, 0)))
+            gi_loc = jax.lax.dynamic_slice(gi, (0, midx * n_loc, 0),
+                                           (B, n_loc, L))
+            gv_loc = jax.lax.dynamic_slice(gv, (0, midx * n_loc, 0),
+                                           (B, n_loc, L))
+            out_loc = pooled_class_lookup(buf, c, gi_loc, gv_loc, sc, mean)
+            full = jnp.zeros((B, n_pad * d), out_loc.dtype)
+            full = jax.lax.dynamic_update_slice(
+                full, out_loc, (0, midx * n_loc * d))
+            parts.append(jax.lax.slice_in_dim(full, 0, n * d, axis=1))
+
+        if layout.take_groups:
+            n_take = layout.n_take
+            tidx = jax.lax.slice_in_dim(planned, k, k + n_take, axis=1)
+            tval = jax.lax.slice_in_dim(valid, k, k + n_take, axis=1)
+            rows_local = pt.take_buffer.shape[0]
+            parts.extend(pooled_take_extract(
+                pt, tidx, tval, local_start=midx * rows_local,
+                local_rows=rows_local, mean=mean))
+
+        emb = jnp.concatenate(parts, axis=1) if parts else jnp.zeros((B, 0))
+        part = self._pre_tail(params, emb, dense, midx)
+        h = jax.lax.psum(part, "model")
+        scores = self._local_post(params, h, dense)
+        return model.poison_scores(scores, pooled_bad_rows(model, planned))
+
+    def forward_pooled(self, params, indices, dense=None, mean: bool = False):
+        """Multi-chip bag-pooled forward: [B, num_tables, L] config-order
+        ids (-1 padding) -> scores [B], same mesh/psum structure as
+        `forward` (models/pooled.py documents the per-tier mechanism).
+        The jitted program is cached per (mean, has_dense)."""
+        key = (bool(mean), dense is not None)
+        fwd = self._pooled_jits.get(key)
+        if fwd is None:
+            mesh = self.mesh
+            make_specs = self._make_specs
+            local = self._local_pooled
+            bspec = P("data", None, None)
+
+            def fn(params, indices, dense):
+                specs = make_specs(params)
+                if dense is None:
+                    f = jax.shard_map(
+                        lambda p, i: local(p, i, None, mean),
+                        mesh=mesh, in_specs=(specs, bspec),
+                        out_specs=P("data"), check_vma=False,
+                    )
+                    return f(params, indices)
+                f = jax.shard_map(
+                    lambda p, i, d: local(p, i, d, mean),
+                    mesh=mesh, in_specs=(specs, bspec, P("data", None)),
+                    out_specs=P("data"), check_vma=False,
+                )
+                return f(params, indices, dense)
+
+            fwd = self._pooled_jits[key] = jax.jit(fn)
+        return fwd(params, indices, dense)
 
     def _local_post(self, params, h, dense):
         """Everything AFTER the exchange: consumes the psum'd [B, H1]

@@ -161,8 +161,8 @@ def test_pooled_bad_id_nan_padding_ok():
 
 def test_pooled_data_parallel_gspmd():
     """The pooled forward is jittable under a data-sharded batch (tables
-    replicated — GSPMD DP; model-axis sharding of bags is future work,
-    noted in models/pooled.py)."""
+    replicated — GSPMD DP; the explicit model-sharded path is
+    ShardedFleetRec.forward_pooled, tested below)."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     cfg = mixed_cfg()
@@ -180,3 +180,47 @@ def test_pooled_data_parallel_gspmd():
     )(params, jax.device_put(jnp.asarray(idx), bspec),
       jax.device_put(jnp.asarray(dense), dspec)))
     np.testing.assert_allclose(out, single, rtol=2e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("data,model_ax,table_dtype,mean", [
+    (2, 4, "float32", False),
+    (1, 8, "float32", True),
+    (2, 4, "int8", False),
+])
+def test_pooled_sharded_matches_single(data, model_ax, table_dtype, mean):
+    """ShardedFleetRec.forward_pooled == the single-device pooled forward:
+    partitioned classes pool only their local tables' bags, the take tier
+    gathers its local row-range, one psum reassembles."""
+    from fleetrec_tpu.parallel import ShardedFleetRec, make_mesh
+
+    cfg = mixed_cfg(table_dtype=table_dtype)
+    model, params = init_model(cfg)
+    idx, dense = make_bags(cfg, 16, seed=4, all_empty_row=2)
+    single = np.asarray(jax.jit(
+        lambda p, i, d: forward_pooled(model, p, i, d, mean=mean)
+    )(params, jnp.asarray(idx), jnp.asarray(dense)))
+
+    mesh = make_mesh(data=data, model=model_ax)
+    sh = ShardedFleetRec(model, mesh)
+    sparams = sh.shard_params(params)
+    out = np.asarray(sh.forward_pooled(
+        sparams, jnp.asarray(idx), jnp.asarray(dense), mean=mean))
+    # mean pooling introduces 1/count divisions whose products accumulate
+    # in different orders across shards (sum pooling on pm1 stays exact)
+    tol = dict(rtol=1e-5, atol=1e-3) if mean else dict(rtol=2e-6, atol=1e-6)
+    np.testing.assert_allclose(out, single, **tol)
+
+
+def test_pooled_sharded_bad_id_nan():
+    from fleetrec_tpu.parallel import ShardedFleetRec, make_mesh
+
+    cfg = mixed_cfg()
+    model, params = init_model(cfg)
+    idx, dense = make_bags(cfg, 16, seed=6)
+    idx[3, -1, 1] = 1 << 28
+    mesh = make_mesh(data=2, model=4)
+    sh = ShardedFleetRec(model, mesh)
+    sparams = sh.shard_params(params)
+    out = np.asarray(sh.forward_pooled(
+        sparams, jnp.asarray(idx), jnp.asarray(dense)))
+    assert np.isnan(out[3]) and np.isfinite(np.delete(out, 3)).all()
