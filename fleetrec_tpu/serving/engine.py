@@ -174,6 +174,7 @@ class ServingEngine:
         self.batch_size = batch_size
         self.max_in_flight = max_in_flight
         self.fuse = 1  # ingest batches per device call (from_model(fuse=K))
+        self.bag_L = 0  # >0: pooled bag serving (from_model(bag_L=L))
         # device result -> this process's np scores; from_sharded(
         # multiprocess=True) swaps in the local-rows extraction so the
         # readback (and its blocking wait) stays on the DRAIN side
@@ -201,34 +202,49 @@ class ServingEngine:
     # -- construction ----------------------------------------------------
     @classmethod
     def from_model(cls, model, params, batch_size: int, max_in_flight: int = 2,
-                   background_drain: bool = False, fuse: int = 1):
+                   background_drain: bool = False, fuse: int = 1,
+                   bag_L: int = 0, bag_mean: bool = False):
         """fuse=K > 1 scores K ingest batches per device call as one
         lax.scan ([K, B, T] indices -> [K, B] scores) — the production
         dispatch shape, and the only way past a high per-call dispatch
         overhead (the tunneled dev chip adds ~29 ms/call; docs/DESIGN.md
-        "tunnel dispatch floor")."""
+        "tunnel dispatch floor").
+
+        bag_L=L > 0 serves the multi-hot POOLED forward
+        (models/pooled.py): slots carry int32 [B, T, L] bag ids (-1 =
+        padding) instead of [B, T]; bag_mean selects mean over sum
+        pooling.  Single-sender wire framing only (the multi-sender
+        IndexWireFormat splits single-id columns)."""
         import jax
         import jax.numpy as jnp
+
+        if bag_L:
+            from ..models.pooled import forward_pooled
+
+            def base_fwd(p, i, d):
+                return forward_pooled(model, p, i, d, mean=bag_mean)
+        else:
+            base_fwd = model.forward
 
         if fuse > 1:
             @jax.jit
             def fwd_scan_i(params, idx):
                 return jax.lax.scan(
-                    lambda c, i: (c, model.forward(params, i, None)), 0, idx)[1]
+                    lambda c, i: (c, base_fwd(params, i, None)), 0, idx)[1]
 
             @jax.jit
             def fwd_scan_id(params, idx, dense):
                 return jax.lax.scan(
-                    lambda c, x: (c, model.forward(params, x[0], x[1])), 0,
+                    lambda c, x: (c, base_fwd(params, x[0], x[1])), 0,
                     (idx, dense))[1]
 
             def score(indices_np, dense_np):
-                i = jnp.asarray(indices_np)  # [K, B, T]
+                i = jnp.asarray(indices_np)  # [K, B, T(, L)]
                 if dense_np is None:
                     return fwd_scan_i(params, i)
                 return fwd_scan_id(params, i, jnp.asarray(dense_np))
         else:
-            fwd = jax.jit(model.forward)
+            fwd = jax.jit(base_fwd)
 
             def score(indices_np, dense_np):
                 d = None if dense_np is None else jnp.asarray(dense_np)
@@ -237,6 +253,7 @@ class ServingEngine:
         eng = cls(score, model.cfg.num_tables, model.cfg.dense_dim, batch_size,
                   max_in_flight, background_drain)
         eng.fuse = fuse
+        eng.bag_L = bag_L
         return eng
 
     @classmethod
@@ -358,19 +375,35 @@ class ServingEngine:
         the first compile can take minutes, so exclusion isn't enough)."""
         if self.num_tables == 0:
             raise ValueError("warmup is for index-mode engines")
-        shape = ((self.fuse, self.batch_size, self.num_tables)
-                 if self.fuse > 1 else (self.batch_size, self.num_tables))
+        lead = (self.fuse, self.batch_size) if self.fuse > 1 else (self.batch_size,)
+        shape = lead + (self.num_tables,)
+        if self.bag_L:
+            shape = shape + (self.bag_L,)
         idx = np.zeros(shape, np.int32)
-        dense = (np.zeros(shape[:-1] + (self.dense_dim,), np.float32)
+        dense = (np.zeros(lead + (self.dense_dim,), np.float32)
                  if self.dense_dim else None)
         self._to_np(self.score_fn(idx, dense))  # readback forces completion
 
     # -- validation (host-side guard against NaN-fill gathers) -----------
     def validate_indices(self, indices: np.ndarray, row_limits: Sequence[int]):
+        """Single-id [B, T]: every id must be in [0, rows).  Pooled bags
+        [B, T, L]: -1 marks padding (allowed); anything else must be in
+        range."""
         if indices.shape[1] != len(row_limits):
             raise ValueError(f"expected {len(row_limits)} index columns")
         lim = np.minimum(np.asarray(row_limits, dtype=np.int64),
                          np.iinfo(indices.dtype).max).astype(indices.dtype)
+        if indices.ndim == 3:
+            lim3 = lim[None, :, None]
+            bad = ((indices < -1) | (indices >= lim3))
+            if not bad.any():
+                return
+            b, t, sl = np.argwhere(bad)[0]
+            raise ValueError(
+                f"bag index out of range: batch row {b}, table {t}, "
+                f"slot {sl}, id {indices[b, t, sl]} (limit {lim[t]}; "
+                f"-1 = padding)"
+            )
         # hot path: two allocation-free column reductions instead of full
         # [B, T] boolean masks (2x on model3's 377 columns — this runs per
         # wire batch and is part of the measured dispatch cost,
@@ -535,12 +568,20 @@ class ServingEngine:
                 if _u is not None:
                     _u(bid, scores)
 
+        if self.bag_L and wire is not None:
+            raise ValueError("pooled bag serving is single-sender wire only "
+                             "(IndexWireFormat splits single-id columns)")
+
         def parse_index_slot(view):
             if wire is not None:
                 idx, dense = wire.parse(view)
             else:
-                n_idx = B * self.num_tables
-                idx = view[:n_idx].view(np.int32).reshape(B, self.num_tables).copy()
+                # bag mode: int32 [B, T, L] (-1 padding) precede the dense
+                # floats — same fixed-offset framing, L x the id bytes
+                ishape = ((B, self.num_tables, self.bag_L) if self.bag_L
+                          else (B, self.num_tables))
+                n_idx = int(np.prod(ishape))
+                idx = view[:n_idx].view(np.int32).reshape(ishape).copy()
                 dense = (
                     view[n_idx : n_idx + B * self.dense_dim]
                     .reshape(B, self.dense_dim)

@@ -149,8 +149,6 @@ def main():
                   f"{len(r['all_reduce_ops'])} all-reduce, "
                   f"{r['bytes_per_call']} B/call, "
                   f"{r['bytes_per_query']:.1f} B/query", flush=True)
-    out["host"] = tunnelhealth.host_stamp() if hasattr(
-        tunnelhealth, "host_stamp") else None
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "artifacts", "EXCHANGE.json")
     with open(path, "w") as f:

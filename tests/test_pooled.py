@@ -224,3 +224,61 @@ def test_pooled_sharded_bad_id_nan():
     out = np.asarray(sh.forward_pooled(
         sparams, jnp.asarray(idx), jnp.asarray(dense)))
     assert np.isnan(out[3]) and np.isfinite(np.delete(out, 3)).all()
+
+
+def test_pooled_engine_serving_e2e():
+    """Pooled bags served end to end: TCP sender ships int32 [B, T, L]
+    bags (+dense) -> ingest ring -> ServingEngine.from_model(bag_L=L)
+    fused dispatch -> scores vs the float64 oracle; padding validated at
+    the wire (-1 allowed, out-of-range rejected)."""
+    import socket
+    import threading
+
+    from fleetrec_tpu.serving import IngestServer, ServingEngine
+
+    cfg = mixed_cfg(batch_size=8)
+    B, NB, FUSE = 8, 4, 2
+    tables = ref.init_tables(cfg, scheme="pm1")
+    ws = ref.init_mlp_weights(cfg, scheme="ones")
+    model, params = init_model(cfg, tables_np=tables, mlp_np=ws)
+    eng = ServingEngine.from_model(model, params, batch_size=B, fuse=FUSE,
+                                   bag_L=L)
+    eng.warmup()
+
+    batches = [make_bags(cfg, B, seed=20 + k) for k in range(NB)]
+    payloads = [idx.tobytes() + dense.tobytes() for idx, dense in batches]
+    outs = {}
+    nbytes = [B * (cfg.num_tables * L + cfg.dense_dim) * 4]
+    with IngestServer(nbytes, n_slots=4, port_base=18740) as ing:
+        def send():
+            s = socket.create_connection(("127.0.0.1", 18740), timeout=5)
+            for p in payloads:
+                s.sendall(p)
+            s.close()
+
+        th = threading.Thread(target=send, daemon=True)
+        th.start()
+        summary = eng.run_from_ingest(
+            ing, NB, mode="index",
+            row_limits=[t.rows for t in cfg.tables],
+            on_done=lambda bid, sc: outs.__setitem__(bid, np.asarray(sc)),
+        )
+        th.join(5)
+    assert summary["fuse"] == FUSE and summary["wire_batches"] == NB
+    flat = np.concatenate([outs[g].reshape(-1, B) for g in sorted(outs)])
+    for k, (idx, dense) in enumerate(batches):
+        golden = oracle(cfg, tables, ws, idx, dense)
+        np.testing.assert_array_equal(flat[k], golden.astype(np.float32))
+
+
+def test_pooled_engine_validates_bags():
+    from fleetrec_tpu.serving import ServingEngine
+
+    cfg = mixed_cfg(batch_size=8)
+    model, params = init_model(cfg)
+    eng = ServingEngine.from_model(model, params, batch_size=8, bag_L=L)
+    idx, _ = make_bags(cfg, 8)
+    eng.validate_indices(idx, [t.rows for t in cfg.tables])  # -1 padding OK
+    idx[2, 1, 0] = cfg.tables[1].rows  # one past the end
+    with pytest.raises(ValueError, match="bag index out of range"):
+        eng.validate_indices(idx, [t.rows for t in cfg.tables])
