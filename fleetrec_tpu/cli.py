@@ -128,6 +128,7 @@ def cmd_serve(args):
         reply=args.reply,
         scatter=tuple(args.scatter.split(",")) if args.scatter else (),
         warm=args.warm, peer_timeout_s=args.peer_timeout or None,
+        bag_L=args.bag_l, bag_mean=args.bag_mean,
     )
     print(json.dumps(serve(cfg, model, params, spec)))
 
@@ -163,7 +164,18 @@ def cmd_loadgen(args):
         return rng.integers(0, rows, B)
 
     def gen_batch():
-        idx = np.stack([draw(t.rows) for t in cfg.tables], 1).astype(np.int32)
+        if args.bag_l:
+            # pooled bags: random valid prefix lengths in [1, L], -1 pad
+            L = args.bag_l
+            idx = np.full((B, cfg.num_tables, L), -1, np.int32)
+            for j, t in enumerate(cfg.tables):
+                lens = rng.integers(1, L + 1, B)
+                for l in range(L):
+                    rowv = draw(t.rows)
+                    take = lens > l
+                    idx[take, j, l] = rowv[take]
+        else:
+            idx = np.stack([draw(t.rows) for t in cfg.tables], 1).astype(np.int32)
         dense = (rng.uniform(-1, 1, (B, cfg.dense_dim)).astype(np.float32)
                  if cfg.dense_dim else None)
         return idx, dense
@@ -629,6 +641,12 @@ def main(argv=None):
                    "dispatch/readback stalls past this many seconds — a "
                    "dead peer otherwise hangs every process forever "
                    "(0 = no bound)")
+    s.add_argument("--bag-l", type=int, default=0,
+                   help="pooled bag serving: slots carry int32 [B, T, L] "
+                   "multi-hot bags (-1 padding) pooled on-chip "
+                   "(models/pooled.py; single-chip, single-sender)")
+    s.add_argument("--bag-mean", action="store_true",
+                   help="mean pooling instead of sum (with --bag-l)")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("loadgen", parents=[common])
@@ -645,6 +663,9 @@ def main(argv=None):
     s.add_argument("--qps", type=float, default=0,
                    help="offered load in queries/s (paced open-loop); "
                    "0 = send as fast as TCP accepts")
+    s.add_argument("--bag-l", type=int, default=0,
+                   help="send pooled [B, T, L] bags (match serve --bag-l; "
+                   "single sender only)")
     s.set_defaults(fn=cmd_loadgen)
 
     s = sub.add_parser("bench", parents=[common])

@@ -43,6 +43,10 @@ class ServeSpec:
     # seconds aborts THIS process with a diagnostic instead of hanging the
     # collective forever (engine.PeerWatchdog).  None = no bound.
     peer_timeout_s: Optional[float] = None
+    # pooled bag serving (models/pooled.py): slots carry int32 [B, T, L]
+    # bags (-1 padding); single-chip, single-sender wire only
+    bag_L: int = 0
+    bag_mean: bool = False
 
 
 def build_engine(model, params, spec: ServeSpec):
@@ -53,7 +57,12 @@ def build_engine(model, params, spec: ServeSpec):
             raise ValueError("multiprocess serving requires a mesh")
         return ServingEngine.from_model(
             model, params, batch_size=spec.batch,
-            background_drain=spec.bg_drain, fuse=spec.fuse)
+            background_drain=spec.bg_drain, fuse=spec.fuse,
+            bag_L=spec.bag_L, bag_mean=spec.bag_mean)
+    if spec.bag_L:
+        raise ValueError("pooled bag serving is single-chip (no --mesh); "
+                         "use ShardedFleetRec.forward_pooled directly for "
+                         "multi-chip bags")
     from ..parallel import ShardedFleetRec
     from ..parallel.multihost import global_mesh
 
@@ -86,10 +95,13 @@ def serve(cfg, model, params, spec: ServeSpec) -> dict:
     B = spec.batch
     wire = None
     if spec.senders > 1:
+        if spec.bag_L:
+            raise ValueError("pooled bag serving is single-sender wire only")
         wire = IndexWireFormat.plan(cfg, B, spec.senders)
         nbytes = wire.bytes_per_sender()
     else:
-        nbytes = [B * (cfg.num_tables + cfg.dense_dim) * 4]
+        nbytes = [B * (cfg.num_tables * max(spec.bag_L, 1)
+                       + cfg.dense_dim) * 4]
     scatter = None
     if spec.scatter:
         scatter = ScatterEgress(queue_blocks=spec.slots)

@@ -120,3 +120,52 @@ def test_serve_library_end_to_end_loopback():
     for k, (idx, dense) in enumerate(batches):
         golden = ref.forward(cfg, tables, ws, idx, dense)
         np.testing.assert_allclose(scores[k], golden, rtol=1e-4, atol=1e-4)
+
+
+def test_serve_library_pooled_bags_loopback():
+    """serve() with bag_L: int32 [B, T, L] bags (-1 padding) on the wire,
+    pooled scoring, score replies — vs the pooled float64 oracle."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pooled import L, make_bags, oracle
+
+    B, NB = 8, 3
+    cfg = fr.get_config("micro_test", batch_size=B)
+    tables = ref.init_tables(cfg, scheme="pm1")
+    ws = ref.init_mlp_weights(cfg, scheme="ones")
+    model, params = init_model(cfg, tables_np=tables, mlp_np=ws)
+    batches = [make_bags(cfg, B, seed=40 + k) for k in range(NB)]
+
+    spec = ServeSpec(batch=B, batches=NB, port=PORT + 40, slots=4,
+                     reply=True, bag_L=L)
+    out = {}
+
+    def run():
+        out["summary"] = serve(cfg, model, params, spec)
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    sock = None
+    for _ in range(100):
+        try:
+            sock = socket.create_connection(("127.0.0.1", PORT + 40),
+                                            timeout=5)
+            break
+        except OSError:
+            time.sleep(0.05)
+    assert sock is not None
+    for idx, dense in batches:
+        sock.sendall(idx.tobytes() + dense.tobytes())
+    want = NB * B * 4
+    buf = b""
+    while len(buf) < want:
+        chunk = sock.recv(want - len(buf))
+        if not chunk:
+            break
+        buf += chunk
+    sock.close()
+    th.join(60)
+    scores = np.frombuffer(buf, np.float32).reshape(NB, B)
+    for k, (idx, dense) in enumerate(batches):
+        golden = oracle(cfg, tables, ws, idx, dense)
+        np.testing.assert_array_equal(scores[k], golden.astype(np.float32))
